@@ -1,0 +1,43 @@
+"""curvlinops_tpu — TPU-native curvature linear operators for JAX.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of
+`f-dangel/curvlinops`: deep-learning curvature matrices (Hessian, GGN,
+Monte-Carlo/type-2/empirical Fisher, KFAC, EKFAC, KFOC, Jacobians) as
+matrix-free linear operators over parameter pytrees, plus operator algebra,
+damped inversion, randomized trace/diagonal/norm estimators, and Lanczos
+spectral densities — all pure jitted functions that scale over device meshes.
+"""
+
+from curvlinops_tpu.curvature.hessian import HessianLinearOperator
+from curvlinops_tpu.losses import BCEWithLogitsLoss, CrossEntropyLoss, MSELoss
+from curvlinops_tpu.ops.base import (
+    ChainLinearOperator,
+    LinearOperator,
+    PytreeLinearOperator,
+    ScaledLinearOperator,
+    SumLinearOperator,
+)
+from curvlinops_tpu.ops.dense import (
+    IdentityLinearOperator,
+    MatrixLinearOperator,
+    OuterProductLinearOperator,
+)
+from curvlinops_tpu.ops.diagonal import DiagonalLinearOperator
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "LinearOperator",
+    "PytreeLinearOperator",
+    "SumLinearOperator",
+    "ScaledLinearOperator",
+    "ChainLinearOperator",
+    "MatrixLinearOperator",
+    "IdentityLinearOperator",
+    "OuterProductLinearOperator",
+    "DiagonalLinearOperator",
+    "HessianLinearOperator",
+    "MSELoss",
+    "CrossEntropyLoss",
+    "BCEWithLogitsLoss",
+]
