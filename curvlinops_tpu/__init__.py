@@ -8,7 +8,15 @@ damped inversion, randomized trace/diagonal/norm estimators, and Lanczos
 spectral densities — all pure jitted functions that scale over device meshes.
 """
 
+from curvlinops_tpu.curvature.ef import EFLinearOperator
+from curvlinops_tpu.curvature.ggn import GGNLinearOperator
+from curvlinops_tpu.curvature.ggn_diagonal import GGNDiagonalLinearOperator
 from curvlinops_tpu.curvature.hessian import HessianLinearOperator
+from curvlinops_tpu.curvature.jacobian import (
+    JacobianLinearOperator,
+    TransposedJacobianLinearOperator,
+)
+from curvlinops_tpu.curvature.loss_hessian import FisherType, KFACType
 from curvlinops_tpu.losses import BCEWithLogitsLoss, CrossEntropyLoss, MSELoss
 from curvlinops_tpu.ops.base import (
     ChainLinearOperator,
@@ -37,6 +45,13 @@ __all__ = [
     "OuterProductLinearOperator",
     "DiagonalLinearOperator",
     "HessianLinearOperator",
+    "GGNLinearOperator",
+    "EFLinearOperator",
+    "GGNDiagonalLinearOperator",
+    "JacobianLinearOperator",
+    "TransposedJacobianLinearOperator",
+    "FisherType",
+    "KFACType",
     "MSELoss",
     "CrossEntropyLoss",
     "BCEWithLogitsLoss",

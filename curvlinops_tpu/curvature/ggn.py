@@ -1,0 +1,126 @@
+"""Generalized Gauss-Newton (and Monte-Carlo Fisher) linear operator.
+
+Counterpart of the reference ``GGNLinearOperator`` (``curvlinops/ggn.py:171-366``).
+
+The exact per-batch GGN-VP is composed exactly as the reference does
+(``ggn.py:41-74``) but with JAX transforms inside one jitted kernel:
+
+1. ``jax.jvp`` of the model: ``v -> Jv``
+2. ``jax.jvp`` of the loss gradient w.r.t. the prediction: ``Jv -> H_loss Jv``
+3. ``jax.vjp`` of the model: ``H_loss Jv -> J^T H_loss Jv``
+
+The forward pass appears in both jvp and vjp; XLA's CSE removes the duplicate
+(the torch reference relies on ``torch.compile`` for the same effect,
+``ggn.py:68-69``).
+
+With ``mc_samples > 0`` the exact loss Hessian is replaced by
+``sum_k g_k g_k^T`` with sampled grad-output vectors (MC Fisher); the sampled
+vectors already carry the ``1/sqrt(M)`` and per-feature reduction scalings
+(see :mod:`curvlinops_tpu.curvature.loss_hessian`). Randomness is explicit
+key-threading: the operator's seed is folded with the batch index, so chained
+operators see identical samples — the determinism the reference gets from
+``fork_rng`` + ``manual_seed`` (``ggn.py:323-341``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from curvlinops_tpu.curvature.loss_hessian import FisherType, make_grad_output_fn
+from curvlinops_tpu.risk import CurvatureLinearOperator
+from curvlinops_tpu.utils.flatten import tree_scale
+
+
+def make_batch_ggn_matmat(model_fn: Callable, loss_fn: Callable) -> Callable:
+    """Build the pure per-batch exact-GGN matmat kernel."""
+
+    def batch_matmat(params: Any, X: Any, y: Any, M: Any, c, key) -> Any:
+        del key
+
+        def f(p):
+            return model_fn(p, X)
+
+        def ggnvp(v: Any) -> Any:
+            pred, jv = jax.jvp(f, (params,), (v,))
+            loss_grad = jax.grad(lambda q: loss_fn(q, y))
+            _, hjv = jax.jvp(loss_grad, (pred,), (jv,))
+            _, vjp_fn = jax.vjp(f, params)
+            return vjp_fn(hjv)[0]
+
+        GM = jax.vmap(ggnvp, in_axes=-1, out_axes=-1)(M)
+        return tree_scale(c, GM)
+
+    return batch_matmat
+
+
+def make_batch_ggn_mc_matmat(
+    model_fn: Callable, loss_fn: Callable, mc_samples: int
+) -> Callable:
+    """Build the per-batch MC-Fisher matmat kernel.
+
+    Implements ``J^T (sum_{n,k} g_nk g_nk^T / c_batch) J v`` with sampled
+    grad-output vectors, matching the pseudo-loss construction of the
+    reference (``ggn.py:100-168``) without materializing a pseudo-loss:
+    the middle factor is applied directly as two einsums.
+    """
+    grad_output_fn = make_grad_output_fn(loss_fn, FisherType.MC, mc_samples)
+
+    def batch_matmat(params: Any, X: Any, y: Any, M: Any, c, key) -> Any:
+        def f(p):
+            return model_fn(p, X)
+
+        pred = f(params)
+        batch_size = jax.tree.leaves(pred)[0].shape[0]
+        keys = jax.random.split(key, batch_size)
+        # [N, V, *out] sampled grad-output vectors (already 1/sqrt(M)-scaled)
+        G = jax.vmap(grad_output_fn)(jax.lax.stop_gradient(pred), y, keys)
+        # batch-dim reduction: the loss averages over the batch for 'mean'
+        c_batch = float(batch_size) if loss_fn.reduction == "mean" else 1.0
+
+        _, vjp_fn = jax.vjp(f, params)
+
+        def fishervp(v: Any) -> Any:
+            _, jv = jax.jvp(f, (params,), (v,))
+            # coeff[n, k] = <g_nk, (Jv)_n>
+            coeff = jnp.einsum(
+                "nk...,n...->nk", G, jv.astype(G.dtype)
+            )
+            tangent = jnp.einsum("nk...,nk->n...", G, coeff) / c_batch
+            return vjp_fn(tangent.astype(jnp.result_type(jv)))[0]
+
+        GM = jax.vmap(fishervp, in_axes=-1, out_axes=-1)(M)
+        return tree_scale(c, GM)
+
+    return batch_matmat
+
+
+class GGNLinearOperator(CurvatureLinearOperator):
+    r"""Matrix-free GGN ``c sum_n J_n^T (nabla^2_f ell) J_n`` of the empirical risk.
+
+    Args:
+        mc_samples: ``0`` (default) for the exact GGN; ``> 0`` replaces the
+            loss Hessian by a Monte-Carlo estimate from that many sampled
+            grad-output vectors per datum (MC Fisher).
+
+    All other arguments as :class:`curvlinops_tpu.risk.EmpiricalRiskOperator`.
+    """
+
+    SELF_ADJOINT = True
+
+    def __init__(self, model_fn, loss_fn, params, data, *, mc_samples: int = 0, **kw):
+        self._mc_samples = mc_samples
+        if mc_samples > 0:
+            # per-batch MC samples must replay identically across matvecs
+            self.FIXED_DATA_ORDER = True
+            self.USES_RANDOMNESS = True
+        super().__init__(model_fn, loss_fn, params, data, **kw)
+
+    def _make_batch_matmat(self) -> Callable:
+        if self._mc_samples > 0:
+            return make_batch_ggn_mc_matmat(
+                self._model_fn, self._loss_fn, self._mc_samples
+            )
+        return make_batch_ggn_matmat(self._model_fn, self._loss_fn)

@@ -1,0 +1,120 @@
+"""Exact (type-2) and Monte-Carlo GGN diagonal.
+
+Counterpart of the reference ``GGNDiagonalLinearOperator``
+(``curvlinops/ggn_diagonal.py:12-91`` + ``computers/ggn_diagonal.py:21-232``).
+
+Per datum, the GGN diagonal contribution is ``sum_v (J_n^T g_nv)^2`` with
+grad-output vectors ``g_nv`` (TYPE2 columns when ``mc_samples == 0``, MC
+samples otherwise). The per-datum vjp is vmapped over both the grad-output
+vectors and the batch inside one jitted kernel, and the result is materialized
+as a :class:`curvlinops_tpu.ops.diagonal.DiagonalLinearOperator` — after the
+one-time build, matvecs are elementwise products with no data pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from curvlinops_tpu.curvature.loss_hessian import FisherType, make_grad_output_fn
+from curvlinops_tpu.ops.diagonal import DiagonalLinearOperator
+from curvlinops_tpu.risk import default_batch_size
+from curvlinops_tpu.utils.flatten import tree_add, tree_scale
+
+
+def make_batch_ggn_diagonal(
+    model_fn: Callable, loss_fn, mc_samples: int = 0
+) -> Callable:
+    """Build the pure per-batch GGN-diagonal kernel ``(params, X, y, c, key) -> diag``."""
+    fisher_type = FisherType.MC if mc_samples > 0 else FisherType.TYPE2
+    grad_output_fn = make_grad_output_fn(loss_fn, fisher_type, max(mc_samples, 1))
+
+    def batch_diag(params: Any, X: Any, y: Any, c, key) -> Any:
+        def per_datum(x_n, y_n, k):
+            def f_n(p):
+                x1 = jax.tree.map(lambda leaf: leaf[None], x_n)
+                return model_fn(p, x1)[0]
+
+            pred, vjp_fn = jax.vjp(f_n, params)
+            G = grad_output_fn(jax.lax.stop_gradient(pred), y_n, k)  # [V, *out]
+            JTg = jax.vmap(lambda g: vjp_fn(g)[0])(G)  # leaves [V, *p]
+            return jax.tree.map(lambda t: jnp.sum(t**2, axis=0), JTg)
+
+        batch_size = default_batch_size(X)
+        keys = jax.random.split(key, batch_size)
+        contribs = jax.vmap(per_datum)(X, y, keys)
+        c_batch = float(batch_size) if loss_fn.reduction == "mean" else 1.0
+        return jax.tree.map(lambda t: (c / c_batch) * jnp.sum(t, axis=0), contribs)
+
+    return batch_diag
+
+
+class GGNDiagonalLinearOperator(DiagonalLinearOperator):
+    """The diagonal of the GGN, materialized once and applied elementwise."""
+
+    def __init__(
+        self,
+        model_fn: Callable,
+        loss_fn,
+        params: Any,
+        data,
+        *,
+        mc_samples: int = 0,
+        seed: int = 2147483647,
+        batch_size_fn: Callable | None = None,
+        num_data: int | None = None,
+        check_deterministic: bool = True,
+    ):
+        batch_size_fn = batch_size_fn or default_batch_size
+        if num_data is None:
+            num_data = sum(batch_size_fn(X) for X, _ in data)
+
+        if check_deterministic:
+            self._check_vmap_compatible(model_fn, params, data)
+
+        kernel = jax.jit(make_batch_ggn_diagonal(model_fn, loss_fn, mc_samples))
+        base_key = jax.random.key(seed)
+        diag = None
+        for idx, (X, y) in enumerate(data):
+            c = {"sum": 1.0, "mean": batch_size_fn(X) / num_data}[loss_fn.reduction]
+            out = kernel(params, X, y, jnp.float32(c), jax.random.fold_in(base_key, idx))
+            diag = out if diag is None else tree_add(diag, out)
+        if diag is None:
+            raise ValueError("Empty dataset.")
+        super().__init__(diag)
+
+        self._model_fn, self._loss_fn, self._params = model_fn, loss_fn, params
+        self._data, self._mc_samples = data, mc_samples
+
+        if check_deterministic:
+            self.check_deterministic_matvec()
+
+    @staticmethod
+    def _check_vmap_compatible(model_fn, params, data) -> None:
+        """``f(X) == vmap(f per-datum)(X)`` probe (``_checks.py:163-194``).
+
+        Raises:
+            RuntimeError: If the model treats batched and per-example inputs
+                differently (e.g. BatchNorm in train mode).
+        """
+        X0, _ = next(iter(data))
+
+        @jax.jit
+        def both(p, X):
+            batched = model_fn(p, X)
+
+            def single(x_n):
+                x1 = jax.tree.map(lambda leaf: leaf[None], x_n)
+                return model_fn(p, x1)[0]
+
+            return batched, jax.vmap(single)(X)
+
+        a, b = both(params, X0)
+        if not np.allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6):
+            raise RuntimeError(
+                "Model is not vmap-compatible: batched forward differs from "
+                "vmapped per-example forward (BatchNorm in training mode?)."
+            )

@@ -126,10 +126,8 @@ def make_case(name: str, seed: int = 0) -> dict:
         params = _mlp_params(k_param, sizes)
         X = jax.random.normal(k_x, (N, sizes[0]))
         y = jax.random.normal(k_y, (N, sizes[-1]))
-        Xs = jnp.split(X, batches)
-        ys = jnp.split(y, batches) if N % batches == 0 else None
         data = [
-            ({"features": xb, "meta": jnp.zeros(())}, yb)
+            ({"features": xb, "meta": jnp.zeros((xb.shape[0],))}, yb)
             for xb, yb in zip(jnp.split(X, 2), jnp.split(y, 2))
         ]
         return dict(

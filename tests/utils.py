@@ -74,35 +74,60 @@ def dense_ggn(model_fn, loss_fn, params, data, batch_size_fn=None) -> np.ndarray
 def dense_empirical_fisher(
     model_fn, loss_fn, params, data, batch_size_fn=None
 ) -> np.ndarray:
-    """Dense empirical Fisher ``c sum_n g_n g_n^T`` with per-example gradients.
+    """Dense empirical Fisher, matching ``examples/functorch.py:190-267`` semantics.
 
-    Matches the reference semantics (``examples/functorch.py:190``): per-example
-    gradients of the *unreduced-then-normalized* loss; for mean reduction the
-    normalization is ``1/N_loss_terms`` folded per example.
+    Rows of the stacked per-loss-term gradient matrix: for CE one row per
+    (example, sequence position); for MSE/BCE the per-element gradients of one
+    loss term are summed over the feature axis (and divided by ``sqrt(C)`` for
+    mean reduction). EF = ``J^T J / normalization``.
     """
-    batch_size_fn = batch_size_fn or default_batch_size
+    from curvlinops_tpu.curvature.ef import flatten_prediction, flatten_target
+    from curvlinops_tpu.losses import CrossEntropyLoss
+
     flat, unravel = ravel_pytree(params)
     Xs = [X for X, _ in data]
     ys = [y for _, y in data]
     X_all = jax.tree.map(lambda *leaves: jnp.concatenate(leaves), *Xs)
-    y_all = jax.tree.map(lambda *leaves: jnp.concatenate(leaves), *ys)
-    N = default_batch_size(y_all) if batch_size_fn is None else sum(
-        batch_size_fn(X) for X in Xs
-    )
+    y_all = jnp.concatenate(ys)
 
-    def per_example_grad(v, x_n, y_n):
-        def loss_n(vv):
-            x1 = jax.tree.map(lambda leaf: leaf[None], x_n)
-            y1 = jax.tree.map(lambda leaf: leaf[None], y_n)
-            return loss_fn(model_fn(unravel(vv), x1), y1)
+    def rows(v):
+        pred = flatten_prediction(loss_fn, model_fn(unravel(v), X_all))  # [L, C]
+        return pred
 
-        return jax.grad(loss_n)(v)
+    pred_rows = rows(flat)
+    y_rows = flatten_target(loss_fn, y_all)
+    L, C = pred_rows.shape
 
-    grads = jax.vmap(per_example_grad, in_axes=(None, 0, 0))(flat, X_all, y_all)
-    grads = np.asarray(grads)  # [N, D]
-    if loss_fn.reduction == "mean":
-        return grads.T @ grads / N
-    return grads.T @ grads
+    if isinstance(loss_fn, CrossEntropyLoss):
+
+        def row_loss(v, i):
+            p = rows(v)[i]
+            logp = jax.nn.log_softmax(p)
+            return -logp[y_rows[i]]
+
+        J = np.stack(
+            [np.asarray(jax.grad(row_loss)(flat, i)) for i in range(L)]
+        )  # [L, D]
+        norm = float(L) if loss_fn.reduction == "mean" else 1.0
+    else:
+
+        def row_loss(v, i):
+            p = rows(v)[i]
+            if hasattr(loss_fn, "reduction") and type(loss_fn).__name__.startswith(
+                "BCE"
+            ):
+                x, t = p, y_rows[i]
+                return jnp.sum(
+                    jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+                )
+            return jnp.sum((p - y_rows[i]) ** 2)
+
+        J = np.stack([np.asarray(jax.grad(row_loss)(flat, i)) for i in range(L)])
+        if loss_fn.reduction == "mean":
+            J = J / np.sqrt(C)
+        norm = float(L * C) / C if loss_fn.reduction == "mean" else 1.0
+
+    return J.T @ J / norm
 
 
 def dense_jacobian(model_fn, params, data) -> np.ndarray:
