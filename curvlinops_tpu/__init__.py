@@ -25,12 +25,21 @@ from curvlinops_tpu.ops.base import (
     ScaledLinearOperator,
     SumLinearOperator,
 )
+from curvlinops_tpu.ops.blockdiag import BlockDiagonalLinearOperator
 from curvlinops_tpu.ops.dense import (
     IdentityLinearOperator,
     MatrixLinearOperator,
     OuterProductLinearOperator,
 )
 from curvlinops_tpu.ops.diagonal import DiagonalLinearOperator
+from curvlinops_tpu.ops.eigh import EighDecomposedLinearOperator
+from curvlinops_tpu.ops.inverse import (
+    CGInverseLinearOperator,
+    LSMRInverseLinearOperator,
+    NeumannInverseLinearOperator,
+)
+from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator
+from curvlinops_tpu.ops.submatrix import SubmatrixLinearOperator
 
 __version__ = "0.1.0"
 
@@ -44,6 +53,13 @@ __all__ = [
     "IdentityLinearOperator",
     "OuterProductLinearOperator",
     "DiagonalLinearOperator",
+    "BlockDiagonalLinearOperator",
+    "KroneckerProductLinearOperator",
+    "EighDecomposedLinearOperator",
+    "SubmatrixLinearOperator",
+    "CGInverseLinearOperator",
+    "LSMRInverseLinearOperator",
+    "NeumannInverseLinearOperator",
     "HessianLinearOperator",
     "GGNLinearOperator",
     "EFLinearOperator",

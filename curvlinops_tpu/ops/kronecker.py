@@ -1,0 +1,191 @@
+"""Kronecker-product linear operator with closed-form properties and inverses.
+
+Counterpart of the reference ``KroneckerProductLinearOperator``
+(``curvlinops/kronecker.py:42-373``). The matvec reshapes the flat input into
+the tensor grid of factor dimensions and contracts one factor per axis — k
+MXU matmuls instead of materializing the Kronecker product. Inversion offers
+the reference's three damping modes: per-factor damping, the Martens-Grosse
+heuristic split (arXiv:1503.05671 §6.3), and exact damping via per-factor
+eigendecompositions (``kronecker.py:250-326``). The damped Cholesky inverse
+retries in float64 when the fp32 factorization produces NaNs
+(``kronecker.py:328-373`` raises; XLA's cholesky returns NaN instead).
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from curvlinops_tpu.ops.base import LinearOperator
+from curvlinops_tpu.ops.eigh import EighDecomposedLinearOperator
+
+
+def damped_cholesky_inverse(
+    A: jax.Array, damping: float, retry_double_precision: bool = True
+) -> jax.Array:
+    """Invert ``A + damping I`` via Cholesky, with a float64 NaN-retry.
+
+    Raises:
+        RuntimeError: If the factorization fails even in double precision (or
+            the retry is disabled).
+    """
+    n = A.shape[0]
+
+    def _inv(mat):
+        damped = mat + damping * jnp.eye(n, dtype=mat.dtype)
+        L = jnp.linalg.cholesky(damped)
+        eye = jnp.eye(n, dtype=mat.dtype)
+        return jax.scipy.linalg.cho_solve((L, True), eye), L
+
+    inv, L = _inv(A)
+    if not bool(jnp.isnan(L).any()):
+        return inv
+
+    if not retry_double_precision or A.dtype == jnp.float64:
+        raise RuntimeError(
+            "Cholesky decomposition failed (NaNs in the factor) and double-"
+            "precision retry is disabled."
+        )
+    warnings.warn(
+        f"Cholesky failed in {A.dtype}; retrying in float64.", stacklevel=2
+    )
+    with jax.enable_x64(True):
+        inv64, L64 = _inv(jnp.asarray(A, jnp.float64))
+        if bool(jnp.isnan(L64).any()):
+            raise RuntimeError("Cholesky decomposition failed in float64.")
+        return jnp.asarray(inv64, A.dtype)
+
+
+class KroneckerProductLinearOperator(LinearOperator):
+    """Lazy ``S_1 (x) S_2 (x) ... (x) S_k`` over flat vectors."""
+
+    def __init__(self, *factors: jax.Array):
+        self._factors = [jnp.asarray(S) for S in factors]
+        if not self._factors or any(S.ndim != 2 for S in self._factors):
+            raise ValueError("Factors must be one or more matrices.")
+        rows = math.prod(S.shape[0] for S in self._factors)
+        cols = math.prod(S.shape[1] for S in self._factors)
+        dtype = jnp.result_type(*[S.dtype for S in self._factors])
+        super().__init__(
+            jax.ShapeDtypeStruct((cols,), dtype), jax.ShapeDtypeStruct((rows,), dtype)
+        )
+
+    @property
+    def factors(self) -> list[jax.Array]:
+        """The Kronecker factors."""
+        return self._factors
+
+    def _matmat(self, M: jax.Array) -> jax.Array:
+        K = M.shape[-1]
+        grid = tuple(S.shape[1] for S in self._factors)
+        x = M.reshape(*grid, K)
+        for i, S in enumerate(self._factors):
+            x = jnp.moveaxis(jnp.tensordot(S, x, axes=[[1], [i]]), 0, i)
+        return x.reshape(-1, K)
+
+    def _adjoint(self) -> "KroneckerProductLinearOperator":
+        return KroneckerProductLinearOperator(
+            *[S.conj().T for S in self._factors]
+        )
+
+    # ---------------- closed-form properties (kronecker.py:195-248) ------ #
+    def _ensure_square(self):
+        if any(S.shape[0] != S.shape[1] for S in self._factors):
+            raise ValueError("Operation requires square Kronecker factors.")
+
+    def trace(self) -> jax.Array:
+        """``tr = prod_i tr(S_i)`` (square factors)."""
+        self._ensure_square()
+        out = jnp.trace(self._factors[0])
+        for S in self._factors[1:]:
+            out = out * jnp.trace(S)
+        return out
+
+    def det(self) -> jax.Array:
+        """``det = prod_i det(S_i)^(N / n_i)`` (square factors)."""
+        self._ensure_square()
+        N = self.shape[0]
+        out = None
+        for S in self._factors:
+            term = jnp.linalg.det(S) ** (N // S.shape[0])
+            out = term if out is None else out * term
+        return out
+
+    def logdet(self) -> jax.Array:
+        """``logdet = sum_i (N / n_i) logdet(S_i)`` (square factors)."""
+        self._ensure_square()
+        N = self.shape[0]
+        out = None
+        for S in self._factors:
+            term = (N // S.shape[0]) * jnp.linalg.slogdet(S)[1]
+            out = term if out is None else out + term
+        return out
+
+    def frobenius_norm(self) -> jax.Array:
+        """``||.||_F = prod_i ||S_i||_F``."""
+        out = None
+        for S in self._factors:
+            term = jnp.linalg.norm(S)
+            out = term if out is None else out * term
+        return out
+
+    # ---------------- inversion (kronecker.py:250-326) ------------------- #
+    def inverse(
+        self,
+        damping: float = 0.0,
+        use_heuristic_damping: bool = False,
+        min_damping: float = 1e-8,
+        use_exact_damping: bool = False,
+        retry_double_precision: bool = True,
+    ) -> LinearOperator:
+        """Inverse with plain / Martens-Grosse heuristic / exact damping.
+
+        Raises:
+            ValueError: If both damping strategies are requested, or heuristic
+                damping is requested for more than two factors.
+            RuntimeError: If heuristic damping meets a negative mean eigenvalue.
+        """
+        self._ensure_square()
+        if use_heuristic_damping and use_exact_damping:
+            raise ValueError("Choose either heuristic or exact damping, not both.")
+
+        if use_exact_damping:
+            eig = [jnp.linalg.eigh(S) for S in self._factors]
+            eigvals = eig[0][0]
+            for vals, _ in eig[1:]:
+                eigvals = jnp.kron(eigvals, vals)
+            Q = KroneckerProductLinearOperator(*[vecs for _, vecs in eig])
+            return EighDecomposedLinearOperator(eigvals, Q).inverse(damping=damping)
+
+        if use_heuristic_damping and len(self._factors) > 2:
+            raise ValueError(
+                "Heuristic damping supports at most two factors, got "
+                f"{len(self._factors)}."
+            )
+        if use_heuristic_damping and len(self._factors) == 2:
+            S1, S2 = self._factors
+            mean1 = float(jnp.mean(jnp.diag(S1)))
+            mean2 = float(jnp.mean(jnp.diag(S2)))
+            if mean1 < 0 or mean2 < 0:
+                raise RuntimeError("Negative mean eigenvalue detected.")
+            pi = math.sqrt(mean2 / mean1)
+            sqrt_damping = math.sqrt(damping)
+            dampings = (
+                max(sqrt_damping / pi, min_damping),
+                max(sqrt_damping * pi, min_damping),
+            )
+        elif use_heuristic_damping:
+            dampings = (max(damping, min_damping),)
+        else:
+            dampings = tuple(damping for _ in self._factors)
+
+        return KroneckerProductLinearOperator(
+            *[
+                damped_cholesky_inverse(S, d, retry_double_precision)
+                for S, d in zip(self._factors, dampings)
+            ]
+        )

@@ -1,0 +1,104 @@
+"""CG / LSMR / Neumann inverse operators."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curvlinops_tpu import (
+    CGInverseLinearOperator,
+    DiagonalLinearOperator,
+    GGNLinearOperator,
+    IdentityLinearOperator,
+    LSMRInverseLinearOperator,
+    MatrixLinearOperator,
+    NeumannInverseLinearOperator,
+)
+
+from tests.cases import make_case
+from tests.utils import dense_ggn, report_nonclose
+
+
+def _spd_op(key, n):
+    A = jax.random.normal(key, (n, n))
+    M = A @ A.T / n + jnp.eye(n)
+    return MatrixLinearOperator(M), np.asarray(M)
+
+
+def test_cg_inverse_dense():
+    op, dense = _spd_op(jax.random.key(0), 8)
+    inv = CGInverseLinearOperator(op, maxiter=200, tol=1e-7)
+    B = np.random.default_rng(0).standard_normal((8, 3)).astype(np.float32)
+    report_nonclose(inv @ B, np.linalg.solve(dense, B), rtol=1e-3, atol=1e-4)
+    assert inv.last_info is not None and int(inv.last_info["iterations"]) <= 200
+
+
+def test_cg_inverse_with_preconditioner():
+    op, dense = _spd_op(jax.random.key(1), 10)
+    precond = DiagonalLinearOperator(1.0 / jnp.diag(jnp.asarray(dense)))
+    # precondition on the flat space: wrap diag into a flat operator
+    inv = CGInverseLinearOperator(op, maxiter=200, tol=1e-7, preconditioner=precond)
+    b = np.random.default_rng(1).standard_normal(10).astype(np.float32)
+    report_nonclose(inv @ b, np.linalg.solve(dense, b), rtol=1e-3, atol=1e-4)
+
+
+def test_cg_inverse_of_curvature_operator():
+    """The whole damped-GGN CG solve runs through the data-loop matmat."""
+    case = make_case("mlp_mse_mean")
+    G = GGNLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"]
+    )
+    delta = 0.1
+    damped = G + delta * IdentityLinearOperator(G.in_spec)
+    inv = CGInverseLinearOperator(damped, maxiter=500, tol=1e-7)
+    dense = dense_ggn(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"]
+    ) + delta * np.eye(G.shape[0])
+    b = np.random.default_rng(2).standard_normal(G.shape[0]).astype(np.float32)
+    report_nonclose(inv @ b, np.linalg.solve(dense, b), rtol=2e-3, atol=1e-4)
+
+
+def test_lsmr_least_squares():
+    A = jax.random.normal(jax.random.key(2), (12, 5))
+    op = MatrixLinearOperator(A)
+    inv = LSMRInverseLinearOperator(op, maxiter=50)
+    B = np.random.default_rng(3).standard_normal((12, 2)).astype(np.float32)
+    expected = np.linalg.lstsq(np.asarray(A), B, rcond=None)[0]
+    report_nonclose(inv @ B, expected, rtol=1e-3, atol=1e-4)
+    assert inv.lsmr_info is not None
+
+
+def test_lsmr_square_solve():
+    op, dense = _spd_op(jax.random.key(3), 6)
+    inv = LSMRInverseLinearOperator(op, maxiter=200, atol=1e-7, btol=1e-7)
+    b = np.random.default_rng(4).standard_normal(6).astype(np.float32)
+    report_nonclose(inv @ b, np.linalg.solve(dense, b), rtol=1e-3, atol=1e-4)
+
+
+def test_neumann_inverse():
+    # well-conditioned: eigenvalues near 1 so the series converges fast
+    n = 6
+    A = jnp.eye(n) + 0.1 * _spd_op(jax.random.key(4), n)[1] / 10
+    op = MatrixLinearOperator(A)
+    inv = NeumannInverseLinearOperator(op, num_terms=60, scale=1.0)
+    b = np.random.default_rng(5).standard_normal(n).astype(np.float32)
+    report_nonclose(inv @ b, np.linalg.solve(np.asarray(A), b), rtol=1e-4, atol=1e-5)
+
+
+def test_neumann_divergence_raises():
+    op = MatrixLinearOperator(5.0 * jnp.eye(4))  # ||I - A|| = 4 > 1 diverges
+    inv = NeumannInverseLinearOperator(op, num_terms=200, scale=1.0)
+    with pytest.raises(ValueError, match="diverged"):
+        inv @ np.ones(4, dtype=np.float32)
+
+
+def test_neumann_with_preconditioner():
+    """Left-preconditioned Neumann converges where the plain series diverges."""
+    d = jnp.asarray([5.0, 2.0, 0.5, 1.5])
+    op = MatrixLinearOperator(jnp.diag(d))
+    precond = DiagonalLinearOperator(1.0 / d)  # exact inverse as preconditioner
+    inv = NeumannInverseLinearOperator(
+        op, num_terms=30, scale=1.0, preconditioner=precond
+    )
+    b = np.random.default_rng(6).standard_normal(4).astype(np.float32)
+    report_nonclose(inv @ b, b / np.asarray(d), rtol=1e-5, atol=1e-6)
