@@ -17,6 +17,7 @@ from curvlinops_tpu.curvature.jacobian import (
     TransposedJacobianLinearOperator,
 )
 from curvlinops_tpu.curvature.loss_hessian import FisherType, KFACType
+from curvlinops_tpu.kfac.operator import KFACLinearOperator
 from curvlinops_tpu.losses import BCEWithLogitsLoss, CrossEntropyLoss, MSELoss
 from curvlinops_tpu.ops.base import (
     ChainLinearOperator,
@@ -66,6 +67,7 @@ __all__ = [
     "GGNDiagonalLinearOperator",
     "JacobianLinearOperator",
     "TransposedJacobianLinearOperator",
+    "KFACLinearOperator",
     "FisherType",
     "KFACType",
     "MSELoss",

@@ -1,0 +1,361 @@
+"""KFAC Kronecker-factor computation: one jitted kernel per batch shape.
+
+TPU-native unification of the reference's two backends (hooks:
+``computers/kfac_hooks.py``; make_fx: ``computers/kfac_make_fx.py``): the
+jaxpr IO collector finds the layers (no module hooks — there are no modules),
+and the whole per-batch reduction — tapped forward, grad-output sampling, ONE
+vmapped backward over all V vectors (vs. the hooks backend's V separate
+backward passes, ``kfac_hooks.py:270-277``), sharing-format conversion and
+covariance einsums — is a single jitted function, retraced only per distinct
+batch shape (the analogue of the reference's per-batch-size FX cache,
+``kfac_make_fx.py:122-151``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from curvlinops_tpu.curvature.ef import flatten_prediction, flatten_target
+from curvlinops_tpu.curvature.loss_hessian import (
+    FisherType,
+    KFACType,
+    make_grad_output_fn,
+)
+from curvlinops_tpu.kfac import math as kmath
+from curvlinops_tpu.kfac.collector import LayerUse, TracedModel
+from curvlinops_tpu.losses import CrossEntropyLoss, SUPPORTED_LOSSES
+from curvlinops_tpu.risk import _num_loss_terms_in_batch, default_batch_size
+from curvlinops_tpu.utils.flatten import tree_add
+
+
+@dataclass
+class ParamGroup:
+    """A canonical-space block: a weight (with uses), a bias, or both."""
+
+    name: str
+    weight_path: tuple | None
+    bias_path: tuple | None
+    uses: list  # LayerUse objects providing the IO
+    joint: bool  # weight and bias share one block (bias column appended)
+    d_in: int  # canonical input dim (incl. bias column when joint)
+    d_out: int
+
+    @property
+    def key(self) -> tuple:
+        """Hashable identifier."""
+        return (self.weight_path, self.bias_path)
+
+
+def build_groups(
+    layers: list[LayerUse], separate_weight_and_bias: bool
+) -> list[ParamGroup]:
+    """Merge layer uses into parameter groups (weight tying merges by leaf).
+
+    Mirrors ``io_collector/groups.py:24-84``: uses sharing a weight leaf form
+    one group; under joint W+b treatment, conflicting biases are rejected.
+
+    Raises:
+        ValueError: On conflicting biases in a tied joint group.
+    """
+    by_weight: dict[tuple, list[LayerUse]] = {}
+    order: list[tuple] = []
+    for use in layers:
+        key = tuple(use.weight_path)
+        if key not in by_weight:
+            order.append(key)
+        by_weight.setdefault(key, []).append(use)
+
+    groups: list[ParamGroup] = []
+    for key in order:
+        uses = by_weight[key]
+        first = uses[0]
+        d_in = (
+            first.meta["d_in"]
+            if first.kind == "dense"
+            else int(np.prod([first.meta["w_shape"][d] for d in
+                              first.meta["dimension_numbers"].rhs_spec[1:]]))
+        )
+        d_out = (
+            first.meta["d_out"]
+            if first.kind == "dense"
+            else first.meta["w_shape"][first.meta["dimension_numbers"].rhs_spec[0]]
+        )
+        bias_paths = {tuple(u.bias_path) for u in uses if u.bias_path is not None}
+        name = "+".join(u.name for u in uses)
+
+        if separate_weight_and_bias:
+            groups.append(
+                ParamGroup(name, key, None, uses, joint=False, d_in=d_in, d_out=d_out)
+            )
+            for bp in sorted(bias_paths):
+                groups.append(
+                    ParamGroup(
+                        name + ".bias", None, bp, uses, joint=False,
+                        d_in=1, d_out=d_out,
+                    )
+                )
+        else:
+            if len(bias_paths) > 1:
+                raise ValueError(
+                    f"Tied group {name} has conflicting biases under joint "
+                    "weight+bias treatment; use separate_weight_and_bias=True."
+                )
+            bias_path = next(iter(bias_paths)) if bias_paths else None
+            joint = bias_path is not None
+            groups.append(
+                ParamGroup(
+                    name, key, bias_path, uses, joint=joint,
+                    d_in=d_in + (1 if joint else 0), d_out=d_out,
+                )
+            )
+    return groups
+
+
+class KFACComputer:
+    """Accumulates per-group ``aaT`` / ``ggT`` Kronecker factors over a dataset."""
+
+    def __init__(
+        self,
+        model_fn: Callable,
+        loss_fn,
+        params: Any,
+        data,
+        *,
+        fisher_type: str = FisherType.MC,
+        mc_samples: int = 1,
+        kfac_approx: str = KFACType.EXPAND,
+        separate_weight_and_bias: bool = True,
+        num_data: int | None = None,
+        num_per_example_loss_terms: int | None = None,
+        seed: int = 2147483647,
+        batch_size_fn: Callable | None = None,
+        check_deterministic: bool = True,
+    ):
+        if not isinstance(loss_fn, SUPPORTED_LOSSES):
+            raise ValueError(
+                f"Loss must be one of {[c.__name__ for c in SUPPORTED_LOSSES]}."
+            )
+        fisher_type = FisherType(fisher_type)
+        kfac_approx = KFACType(kfac_approx)
+        if fisher_type != FisherType.MC and mc_samples != 1:
+            raise ValueError(
+                f"mc_samples={mc_samples} requires fisher_type=FisherType.MC."
+            )
+        self.model_fn, self.loss_fn, self.params = model_fn, loss_fn, params
+        self.data = data
+        self.fisher_type, self.mc_samples = fisher_type, mc_samples
+        self.kfac_approx = kfac_approx
+        self.separate_weight_and_bias = separate_weight_and_bias
+        self.seed = seed
+        self.batch_size_fn = batch_size_fn or default_batch_size
+        self._kernel_cache: dict = {}
+        self._traced_cache: dict = {}
+
+        # dataset statistics (<= 1 traversal, _empirical_risk.py:121-177)
+        need_n = num_data is None
+        need_terms = num_per_example_loss_terms is None
+        if need_n or need_terms:
+            n_acc, t_acc = 0, 0
+            for X, y in data:
+                n_acc += self.batch_size_fn(X)
+                t_acc += _num_loss_terms_in_batch(loss_fn, y)
+            if need_n:
+                num_data = n_acc
+            if need_terms:
+                if t_acc % num_data != 0:
+                    raise ValueError(
+                        "Loss terms not divisible by the number of data points."
+                    )
+                num_per_example_loss_terms = t_acc // num_data
+        self.num_data = num_data
+        self.num_per_example_loss_terms = num_per_example_loss_terms
+
+        # layer discovery on the first batch's shapes
+        X0, _ = next(iter(data))
+        traced = self._get_traced(X0)
+        self.groups = build_groups(traced.layers, separate_weight_and_bias)
+        self._check_deterministic = check_deterministic
+
+    # ------------------------------------------------------------------ #
+    def _get_traced(self, X: Any) -> TracedModel:
+        shape_key = tuple(
+            (tuple(jnp.shape(leaf)), str(jnp.result_type(leaf)))
+            for leaf in jax.tree.leaves(X)
+        )
+        if shape_key not in self._traced_cache:
+            self._traced_cache[shape_key] = TracedModel(
+                self.model_fn, self.params, X
+            )
+        return self._traced_cache[shape_key]
+
+    def _unflatten_rows(self, G_rows: jax.Array, pred_shape: tuple) -> jax.Array:
+        """``[V, L, C]`` grad-output rows -> ``[V, *pred_shape]``."""
+        V = G_rows.shape[0]
+        if isinstance(self.loss_fn, CrossEntropyLoss):
+            if len(pred_shape) > 2:
+                B, C = pred_shape[0], pred_shape[1]
+                extra = pred_shape[2:]
+                g = G_rows.reshape(V, B, *extra, C)
+                return jnp.moveaxis(g, -1, 2)
+            return G_rows.reshape(V, *pred_shape)
+        if len(pred_shape) == 1:
+            return G_rows.reshape(V, *pred_shape)
+        return G_rows.reshape(V, *pred_shape)
+
+    def _make_batch_kernel(self, traced: TracedModel) -> Callable:
+        loss_fn = self.loss_fn
+        fisher_type, mc_samples = self.fisher_type, self.mc_samples
+        kfac_approx = self.kfac_approx
+        groups = self.groups
+        n_data = self.num_data
+        grad_output_fn = make_grad_output_fn(loss_fn, fisher_type, mc_samples)
+        use_index = {id(u): i for i, u in enumerate(traced.layers)}
+
+        def batch_kernel(params, X, y, key, correction):
+            delta0 = [
+                jnp.zeros(s.shape, s.dtype)
+                for s in traced.delta_specs(params, X)
+            ]
+            (pred, ios), pull = jax.vjp(
+                lambda d: traced.apply_with_io(params, d, X), delta0
+            )
+
+            aaT = {}
+            for gi, group in enumerate(groups):
+                if group.weight_path is None:
+                    continue  # bias-only: no input covariance
+                parts = [
+                    kmath.input_to_sharing_format(
+                        ios[use_index[id(u)]],
+                        u.kind,
+                        u.meta,
+                        kfac_approx,
+                        bias_pad=(
+                            None
+                            if not group.joint
+                            else (1.0 if u.bias_path is not None else 0.0)
+                        ),
+                    )
+                    for u in group.uses
+                ]
+                a = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+                aaT[gi] = kmath.input_covariance(a, n_data)
+
+            ggT = {}
+            if fisher_type == FisherType.FORWARD_ONLY:
+                return aaT, ggT  # identity ggT is attached after the data loop
+
+            rows = flatten_prediction(loss_fn, jax.lax.stop_gradient(pred))
+            y_rows = flatten_target(loss_fn, y)
+            L = rows.shape[0]
+            keys = jax.random.split(key, L)
+            G_rows = jax.vmap(grad_output_fn)(rows, y_rows, keys)  # [L, V, C]
+            G_rows = jnp.moveaxis(G_rows, 1, 0)  # [V, L, C]
+            if loss_fn.reduction == "mean":
+                G_rows = G_rows / L
+            G_pred = self._unflatten_rows(G_rows, jnp.shape(pred))
+
+            ios_zero = [jnp.zeros_like(i) for i in ios]
+            # ONE batched backward over all V vectors
+            glayers = jax.vmap(lambda gp: pull((gp, ios_zero))[0])(G_pred)
+
+            for gi, group in enumerate(groups):
+                parts = [
+                    kmath.grad_to_sharing_format(
+                        glayers[use_index[id(u)]], u.kind, u.meta, kfac_approx
+                    )
+                    for u in group.uses
+                ]
+                g = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+                ggT[gi] = kmath.gradient_covariance(g, correction)
+            return aaT, ggT
+
+        return batch_kernel
+
+    def _get_kernel(self, X: Any) -> Callable:
+        shape_key = tuple(
+            (tuple(jnp.shape(leaf)), str(jnp.result_type(leaf)))
+            for leaf in jax.tree.leaves(X)
+        )
+        if shape_key not in self._kernel_cache:
+            traced = self._get_traced(X)
+            self._kernel_cache[shape_key] = jax.jit(self._make_batch_kernel(traced))
+        return self._kernel_cache[shape_key]
+
+    # ------------------------------------------------------------------ #
+    def compute(self) -> tuple[dict, dict, list[ParamGroup]]:
+        """Accumulate factors over the dataset.
+
+        Returns:
+            ``(input_covariances, gradient_covariances, groups)`` keyed by
+            group index.
+        """
+        if self._check_deterministic:
+            self._determinism_probe()
+
+        base_key = jax.random.key(self.seed)
+        aaT_acc: dict = {}
+        ggT_acc: dict = {}
+        for idx, (X, y) in enumerate(self.data):
+            kernel = self._get_kernel(X)
+            B = self.batch_size_fn(X)
+            correction = kmath.loss_correction(
+                B,
+                self.num_per_example_loss_terms,
+                self.loss_fn.reduction,
+                self.num_data,
+            )
+            aaT, ggT = kernel(
+                self.params,
+                X,
+                y,
+                jax.random.fold_in(base_key, idx),
+                jnp.float32(correction),
+            )
+            for gi, val in aaT.items():
+                aaT_acc[gi] = val if gi not in aaT_acc else aaT_acc[gi] + val
+            for gi, val in ggT.items():
+                ggT_acc[gi] = val if gi not in ggT_acc else ggT_acc[gi] + val
+
+        if self.fisher_type == FisherType.FORWARD_ONLY:
+            # identity gradient covariance regardless of data (FOOF)
+            for gi, group in enumerate(self.groups):
+                ggT_acc[gi] = jnp.eye(group.d_out, dtype=self._param_dtype())
+
+        return aaT_acc, ggT_acc, self.groups
+
+    def _param_dtype(self):
+        return jnp.result_type(*jax.tree.leaves(self.params))
+
+    def _determinism_probe(self) -> None:
+        """Two-pass loss/gradient comparison (``_empirical_risk.py:179-235``).
+
+        Raises:
+            RuntimeError: If the two passes disagree.
+        """
+        model_fn, loss_fn = self.model_fn, self.loss_fn
+
+        @jax.jit
+        def batch_loss_grad(params, X, y):
+            return jax.value_and_grad(lambda p: loss_fn(model_fn(p, X), y))(params)
+
+        def one_pass():
+            tl, tg = None, None
+            for X, y in self.data:
+                loss, grad = batch_loss_grad(self.params, X, y)
+                tl = loss if tl is None else tl + loss
+                tg = grad if tg is None else tree_add(tg, grad)
+            return tl, tg
+
+        l1, g1 = one_pass()
+        l2, g2 = one_pass()
+        if not np.allclose(np.asarray(l1), np.asarray(l2), rtol=5e-5, atol=1e-6):
+            raise RuntimeError("Check for deterministic total loss failed.")
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            if not np.allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6):
+                raise RuntimeError("Check for deterministic total gradient failed.")

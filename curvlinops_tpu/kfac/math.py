@@ -1,0 +1,188 @@
+"""Weight-sharing-format math for KFAC factor computation.
+
+Counterpart of the reference's ``computers/kfac_math.py`` +
+``kfac_utils.extract_patches`` (``kfac_utils.py:78-180``): every supported
+layer is normalized to ``output[b, s] = W @ input[b, s] (+ bias)`` in the
+**weight-sharing format** ``[batch, shared, features]``:
+
+- dense inputs ``[B, *share, d_in]`` flatten the sharing dims (EXPAND) or
+  average them (REDUCE);
+- conv inputs are unfolded with ``jax.lax.conv_general_dilated_patches`` — the
+  TPU-native patch extraction, one XLA op instead of ``F.unfold`` — giving
+  ``[B, out_positions, C_in * prod(kernel)]`` with ``(C, *kernel)`` feature
+  ordering (the canonical conv weight is transposed to match);
+- gradients flatten (EXPAND) or sum (REDUCE) the sharing dims.
+
+Covariance scalings follow the reference exactly: ``aaT`` is divided by
+``N_data * shared`` (``kfac_hooks.py:388-391``), ``ggT`` is multiplied by the
+loss correction ``num_loss_terms^2 / (per_example_terms * N_data)`` for mean
+reduction (``kfac_math.py:172-203``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from curvlinops_tpu.curvature.loss_hessian import KFACType
+
+
+def canonical_dense_weight(W: jax.Array, meta: dict) -> jax.Array:
+    """Reshape a dense weight leaf to canonical ``[d_out, d_in]``."""
+    perm = meta["w_free"] + meta["w_contract"]
+    return jnp.transpose(W, perm).reshape(meta["d_out"], meta["d_in"])
+
+
+def canonical_dense_weight_inverse(
+    W_canon: jax.Array, meta: dict, shape: tuple
+) -> jax.Array:
+    """Inverse of :func:`canonical_dense_weight`."""
+    perm = meta["w_free"] + meta["w_contract"]
+    inv_perm = [perm.index(d) for d in range(len(shape))]
+    permuted_shape = [shape[d] for d in perm]
+    return jnp.transpose(W_canon.reshape(permuted_shape), inv_perm)
+
+
+def _conv_spatial_dims(meta: dict) -> tuple[int, tuple, int, int]:
+    """(num_spatial, kernel_shape, rhs I dim, rhs O dim) from conv metadata."""
+    dn = meta["dimension_numbers"]
+    rhs_spec = dn.rhs_spec  # (O, I, *spatial) positions
+    w_shape = meta["w_shape"]
+    o_dim, i_dim = rhs_spec[0], rhs_spec[1]
+    spatial_dims = rhs_spec[2:]
+    kernel_shape = tuple(w_shape[d] for d in spatial_dims)
+    return len(spatial_dims), kernel_shape, i_dim, o_dim
+
+
+def canonical_conv_weight(W: jax.Array, meta: dict) -> jax.Array:
+    """Reshape a conv kernel to canonical ``[d_out, d_in]``, d_in = (C, *K)."""
+    dn = meta["dimension_numbers"]
+    rhs_spec = dn.rhs_spec
+    o_dim, i_dim = rhs_spec[0], rhs_spec[1]
+    spatial = rhs_spec[2:]
+    perm = (o_dim, i_dim) + tuple(spatial)
+    Wp = jnp.transpose(W, perm)  # [O, I, *K]
+    return Wp.reshape(Wp.shape[0], -1)
+
+
+def canonical_conv_weight_inverse(
+    W_canon: jax.Array, meta: dict, shape: tuple
+) -> jax.Array:
+    """Inverse of :func:`canonical_conv_weight`."""
+    dn = meta["dimension_numbers"]
+    rhs_spec = dn.rhs_spec
+    o_dim, i_dim = rhs_spec[0], rhs_spec[1]
+    spatial = rhs_spec[2:]
+    perm = (o_dim, i_dim) + tuple(spatial)
+    permuted_shape = [shape[d] for d in perm]
+    inv_perm = [perm.index(d) for d in range(len(shape))]
+    return jnp.transpose(W_canon.reshape(permuted_shape), inv_perm)
+
+
+def extract_conv_patches(x: jax.Array, meta: dict) -> jax.Array:
+    """Unfold a conv input to ``[B, S, d_in]`` (one XLA op, MXU-friendly).
+
+    Raises:
+        NotImplementedError: For grouped convolutions.
+    """
+    if meta["feature_group_count"] != 1 or meta["batch_group_count"] != 1:
+        raise NotImplementedError(
+            "Grouped convolutions are not supported by KFAC patch extraction."
+        )
+    _, kernel_shape, _, _ = _conv_spatial_dims(meta)
+    dn = meta["dimension_numbers"]
+    patches = jax.lax.conv_general_dilated_patches(
+        x,
+        filter_shape=kernel_shape,
+        window_strides=meta["window_strides"],
+        padding=meta["padding"],
+        lhs_dilation=meta["lhs_dilation"],
+        rhs_dilation=meta["rhs_dilation"],
+        dimension_numbers=dn,
+    )
+    # move the feature dim (at out_spec channel position) last, flatten spatial
+    out_spec = dn.out_spec
+    c_pos, b_pos = out_spec[1], out_spec[0]
+    patches = jnp.moveaxis(patches, (b_pos, c_pos), (0, patches.ndim - 1))
+    B = patches.shape[0]
+    return patches.reshape(B, -1, patches.shape[-1])
+
+
+def input_to_sharing_format(
+    x: jax.Array,
+    kind: str,
+    meta: dict,
+    kfac_approx: str,
+    bias_pad: float | None = None,
+) -> jax.Array:
+    """Convert a layer input to ``[batch, shared, d_in (+1)]``."""
+    if kind == "conv":
+        x = extract_conv_patches(x, meta)  # [B, S, d_in]
+    else:
+        # dense: contract dims -> trailing d_in, other dims -> sharing
+        x_contract = meta["x_contract"]
+        other = [d for d in range(x.ndim) if d not in x_contract and d != 0]
+        x = jnp.transpose(x, (0, *other, *x_contract))
+        x = x.reshape(x.shape[0], -1, meta["d_in"])
+
+    if kfac_approx == KFACType.REDUCE:
+        x = jnp.mean(x, axis=1, keepdims=True)
+
+    if bias_pad is not None:
+        pad = jnp.full((*x.shape[:-1], 1), bias_pad, x.dtype)
+        x = jnp.concatenate([x, pad], axis=-1)
+    return x
+
+
+def grad_to_sharing_format(
+    g: jax.Array, kind: str, meta: dict, kfac_approx: str
+) -> jax.Array:
+    """Convert layer-output gradients ``[V, B, *out]`` to ``[V, B, shared, d_out]``."""
+    if kind == "conv":
+        dn = meta["dimension_numbers"]
+        out_spec = dn.out_spec
+        # g follows the conv output layout with 2 leading dims (V, then batch at
+        # out_spec positions shifted by 1)
+        b_pos, c_pos = out_spec[0] + 1, out_spec[1] + 1
+        g = jnp.moveaxis(g, (b_pos, c_pos), (1, g.ndim - 1))
+        V, B = g.shape[0], g.shape[1]
+        g = g.reshape(V, B, -1, g.shape[-1])
+    else:
+        # dense: output dims = [V, B, *share, d_out_dims...]; free dims of the
+        # weight map to the trailing dims of the output
+        V, B = g.shape[0], g.shape[1]
+        n_free = len(meta["w_free"])
+        g = g.reshape(V, B, -1, meta["d_out"]) if g.ndim > 2 else g.reshape(
+            V, B, 1, meta["d_out"]
+        )
+
+    if kfac_approx == KFACType.REDUCE:
+        g = jnp.sum(g, axis=2, keepdims=True)
+    return g
+
+
+def input_covariance(a: jax.Array, n_data: int) -> jax.Array:
+    """``aaT = sum_{b,s} a a^T / (N_data * shared)`` (``kfac_hooks.py:388``)."""
+    shared = a.shape[1]
+    return jnp.einsum("bsi,bsj->ij", a, a) / (n_data * shared)
+
+
+def loss_correction(
+    batch_size: int,
+    num_per_example_loss_terms: int,
+    reduction: str,
+    n_data: int,
+) -> float:
+    """Gradient-covariance correction (``kfac_math.py:172-203``)."""
+    if reduction == "sum":
+        return 1.0
+    num_loss_terms = batch_size * num_per_example_loss_terms
+    return num_loss_terms**2 / (num_per_example_loss_terms * n_data)
+
+
+def gradient_covariance(g: jax.Array, correction: float) -> jax.Array:
+    """``ggT = correction * sum_{v,b,s} g g^T`` over sharing format grads."""
+    return correction * jnp.einsum("vbsi,vbsj->ij", g, g)

@@ -1,0 +1,230 @@
+"""KFAC linear operator: ``P @ K @ P^T`` over parameter pytrees.
+
+Counterpart of the reference ``KFACLinearOperator`` (``curvlinops/kfac.py:43-350``)
+and its canonical converters (``kfac_utils.py:183-398``): the Kronecker-factored
+curvature lives in a canonical per-group space (flattened ``[d_out, d_in(+1)]``
+blocks); ``ToCanonical``/``FromCanonical`` are pure transpose/reshape/concat
+maps between the parameter pytree and that space — their adjoints come for
+free from ``jax.linear_transpose`` since they are orthonormal permutations.
+
+Matvecs after the one-time factor build touch no data: per block, two MXU
+matmuls via the Kronecker grid contraction (``ops/kronecker.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from curvlinops_tpu.curvature.loss_hessian import FisherType, KFACType
+from curvlinops_tpu.kfac import math as kmath
+from curvlinops_tpu.kfac.computer import KFACComputer, ParamGroup
+from curvlinops_tpu.ops.base import ChainLinearOperator, PytreeLinearOperator
+from curvlinops_tpu.ops.blockdiag import BlockDiagonalLinearOperator
+from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator
+from curvlinops_tpu.utils.flatten import spec_of
+
+
+def _leaf_by_path(tree: Any, path: tuple):
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for p, leaf in leaves:
+        if tuple(p) == tuple(path):
+            return leaf
+    raise KeyError(f"No leaf at path {path}.")
+
+
+def make_to_canonical(
+    groups: list[ParamGroup], params: Any
+) -> tuple[Callable[[Any], tuple], Callable[[tuple], Any]]:
+    """Build pure maps params-pytree <-> tuple of canonical flat blocks.
+
+    Counterpart of ``To/FromCanonicalLinearOperator`` (``kfac_utils.py:263-398``).
+    """
+    leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(params)
+    paths = [tuple(p) for p, _ in leaves_with_paths]
+    shapes = [jnp.shape(leaf) for _, leaf in leaves_with_paths]
+    path_index = {p: i for i, p in enumerate(paths)}
+
+    def to_canonical(v: Any) -> tuple:
+        flat = jax.tree_util.tree_leaves(v)
+        blocks = []
+        for group in groups:
+            if group.weight_path is not None:
+                use = group.uses[0]
+                W = flat[path_index[tuple(group.weight_path)]]
+                canon = (
+                    kmath.canonical_dense_weight(W, use.meta)
+                    if use.kind == "dense"
+                    else kmath.canonical_conv_weight(W, use.meta)
+                )
+                if group.joint:
+                    b = flat[path_index[tuple(group.bias_path)]]
+                    canon = jnp.concatenate([canon, b[:, None]], axis=1)
+                blocks.append(canon.reshape(-1))
+            else:  # bias-only group
+                blocks.append(flat[path_index[tuple(group.bias_path)]])
+        return tuple(blocks)
+
+    def from_canonical(blocks: tuple) -> Any:
+        out = [None] * len(paths)
+        for group, block in zip(groups, blocks):
+            if group.weight_path is not None:
+                use = group.uses[0]
+                i = path_index[tuple(group.weight_path)]
+                mat = block.reshape(group.d_out, group.d_in)
+                if group.joint:
+                    W_canon, b = mat[:, :-1], mat[:, -1]
+                    out[path_index[tuple(group.bias_path)]] = b
+                else:
+                    W_canon = mat
+                out[i] = (
+                    kmath.canonical_dense_weight_inverse(W_canon, use.meta, shapes[i])
+                    if use.kind == "dense"
+                    else kmath.canonical_conv_weight_inverse(
+                        W_canon, use.meta, shapes[i]
+                    )
+                )
+            else:
+                out[path_index[tuple(group.bias_path)]] = block
+        missing = [paths[i] for i, v in enumerate(out) if v is None]
+        if missing:
+            raise ValueError(f"Groups do not cover parameters: {missing}.")
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return to_canonical, from_canonical
+
+
+class KFACLinearOperator(ChainLinearOperator):
+    r"""Kronecker-factored approximate curvature of the Fisher/GGN.
+
+    ``KFAC = FromCanonical @ blockdiag(ggT_i (x) aaT_i) @ ToCanonical``
+    (``kfac.py:219-248``). Configuration mirrors the reference: ``fisher_type``
+    in {type-2, mc, empirical, forward-only}, ``mc_samples``, ``kfac_approx``
+    in {expand, reduce}, ``separate_weight_and_bias``.
+
+    Backends: the reference's {"hooks", "make_fx"} collapse into the single
+    jaxpr backend (hooks need modules; the jaxpr collector is also
+    weight-tying-safe where hooks silently are not, ``kfac.py:117-123``).
+    """
+
+    SELF_ADJOINT = True
+
+    def __init__(
+        self,
+        model_fn: Callable,
+        loss_fn,
+        params: Any,
+        data,
+        *,
+        fisher_type: str = FisherType.MC,
+        mc_samples: int = 1,
+        kfac_approx: str = KFACType.EXPAND,
+        separate_weight_and_bias: bool = True,
+        num_data: int | None = None,
+        num_per_example_loss_terms: int | None = None,
+        seed: int = 2147483647,
+        batch_size_fn: Callable | None = None,
+        check_deterministic: bool = True,
+    ):
+        computer = KFACComputer(
+            model_fn,
+            loss_fn,
+            params,
+            data,
+            fisher_type=fisher_type,
+            mc_samples=mc_samples,
+            kfac_approx=kfac_approx,
+            separate_weight_and_bias=separate_weight_and_bias,
+            num_data=num_data,
+            num_per_example_loss_terms=num_per_example_loss_terms,
+            seed=seed,
+            batch_size_fn=batch_size_fn,
+            check_deterministic=check_deterministic,
+        )
+        aaT, ggT, groups = computer.compute()
+        self._build_from_factors(params, groups, aaT, ggT)
+        self._computer = computer
+
+    # ------------------------------------------------------------------ #
+    def _build_from_factors(self, params, groups, aaT, ggT) -> None:
+        blocks = []
+        for gi, group in enumerate(groups):
+            factors = [ggT[gi]]
+            if gi in aaT:
+                factors.append(aaT[gi])
+            blocks.append(KroneckerProductLinearOperator(*factors))
+        K = BlockDiagonalLinearOperator(blocks)
+
+        to_canonical, from_canonical = make_to_canonical(groups, params)
+        param_spec = spec_of(params)
+        canonical_spec = jax.eval_shape(to_canonical, param_spec)
+
+        PT = PytreeLinearOperator(to_canonical, param_spec, canonical_spec)
+        P = PT.adjoint()  # orthonormal permutation: adjoint == inverse
+
+        super().__init__([P, K, PT])
+        self._params = params
+        self._groups = groups
+        self._aaT, self._ggT = aaT, ggT
+        self._to_canonical, self._from_canonical = to_canonical, from_canonical
+
+    @property
+    def groups(self) -> list[ParamGroup]:
+        """The canonical parameter groups (one per Kronecker block)."""
+        return self._groups
+
+    @property
+    def canonical(self) -> BlockDiagonalLinearOperator:
+        """The block-diagonal operator in the canonical basis."""
+        return self.ops[1]
+
+    # ---- matrix properties delegate to the canonical basis (kfac.py:273) - #
+    def trace(self) -> jax.Array:
+        """Exact trace (basis change preserves it)."""
+        return self.canonical.trace()
+
+    def det(self) -> jax.Array:
+        """Exact determinant."""
+        return self.canonical.det()
+
+    def logdet(self) -> jax.Array:
+        """Exact log-determinant."""
+        return self.canonical.logdet()
+
+    def frobenius_norm(self) -> jax.Array:
+        """Exact Frobenius norm."""
+        return self.canonical.frobenius_norm()
+
+    def inverse(
+        self,
+        damping: float = 0.0,
+        use_heuristic_damping: bool = False,
+        min_damping: float = 1e-8,
+        use_exact_damping: bool = False,
+        retry_double_precision: bool = True,
+    ) -> ChainLinearOperator:
+        """Damped inverse: invert each block, rebuild the chain (kfac.py:311-350)."""
+        K_inv = self.canonical.inverse(
+            damping=damping,
+            use_heuristic_damping=use_heuristic_damping,
+            min_damping=min_damping,
+            use_exact_damping=use_exact_damping,
+            retry_double_precision=retry_double_precision,
+        )
+        return ChainLinearOperator([self.ops[0], K_inv, self.ops[2]])
+
+    # ---- checkpointing (torch.save/load parity, test_kfac.py:1083) ------- #
+    def state_dict(self) -> dict:
+        """Serializable factor state (a pytree of arrays + group metadata)."""
+        return {
+            "aaT": {str(k): v for k, v in self._aaT.items()},
+            "ggT": {str(k): v for k, v in self._ggT.items()},
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        """Restore factors and rebuild the chain."""
+        aaT = {int(k): jnp.asarray(v) for k, v in state["aaT"].items()}
+        ggT = {int(k): jnp.asarray(v) for k, v in state["ggT"].items()}
+        self._build_from_factors(self._params, self._groups, aaT, ggT)
