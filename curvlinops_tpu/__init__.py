@@ -17,6 +17,8 @@ from curvlinops_tpu.curvature.jacobian import (
     TransposedJacobianLinearOperator,
 )
 from curvlinops_tpu.curvature.loss_hessian import FisherType, KFACType
+from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
+from curvlinops_tpu.kfac.kfoc import KFOCLinearOperator
 from curvlinops_tpu.kfac.operator import KFACLinearOperator
 from curvlinops_tpu.losses import BCEWithLogitsLoss, CrossEntropyLoss, MSELoss
 from curvlinops_tpu.ops.base import (
@@ -68,6 +70,8 @@ __all__ = [
     "JacobianLinearOperator",
     "TransposedJacobianLinearOperator",
     "KFACLinearOperator",
+    "EKFACLinearOperator",
+    "KFOCLinearOperator",
     "FisherType",
     "KFACType",
     "MSELoss",

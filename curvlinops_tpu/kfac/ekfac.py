@@ -1,0 +1,242 @@
+"""EKFAC: eigenvalue-corrected KFAC.
+
+Counterpart of the reference ``EKFACLinearOperator`` (``curvlinops/ekfac.py``)
+with the computer logic of ``computers/ekfac_hooks.py`` / ``ekfac_make_fx.py``:
+after the KFAC factor build, each factor is eigendecomposed and a second data
+pass accumulates the corrected eigenvalues
+``lambda = sum_{v,n} (Q_g^T P_vn Q_a)^2`` — the Frobenius-optimal diagonal in
+the Kronecker eigenbasis (George et al., 2018). The dual contraction strategy
+(per-example-gradient vs Gramian, auto-selected by memory,
+``ekfac_hooks.py:103-238``) lives in :func:`curvlinops_tpu.kfac.math.eigenvalue_correction`
+and runs inside the same jitted per-batch kernel as the backward pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from curvlinops_tpu.curvature.ef import flatten_prediction, flatten_target
+from curvlinops_tpu.curvature.loss_hessian import FisherType, make_grad_output_fn
+from curvlinops_tpu.kfac import math as kmath
+from curvlinops_tpu.kfac.computer import KFACComputer
+from curvlinops_tpu.kfac.operator import KFACLinearOperator, make_to_canonical
+from curvlinops_tpu.ops.base import ChainLinearOperator, PytreeLinearOperator
+from curvlinops_tpu.ops.blockdiag import BlockDiagonalLinearOperator
+from curvlinops_tpu.ops.eigh import EighDecomposedLinearOperator
+from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator
+from curvlinops_tpu.utils.flatten import spec_of
+
+
+class EKFACComputer(KFACComputer):
+    """KFAC computer + factor eigendecomposition + eigenvalue-correction pass."""
+
+    _SUPPORTED_FISHER = (FisherType.TYPE2, FisherType.MC, FisherType.EMPIRICAL)
+
+    def __init__(self, *args, force_strategy: str | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        if self.fisher_type not in self._SUPPORTED_FISHER:
+            raise ValueError(
+                f"EKFAC supports fisher types {self._SUPPORTED_FISHER}, got "
+                f"{self.fisher_type}."
+            )
+        # EKFAC's per-sample gradients require independent per-datum loss
+        # terms: reject >2d model output (computers/_base.py:329-353)
+        X0, y0 = next(iter(self.data))
+        pred_shape = jax.eval_shape(self.model_fn, self.params, X0).shape
+        if len(pred_shape) != 2:
+            raise ValueError(
+                f"EKFAC supports 2d model output only, got shape {pred_shape}."
+            )
+        self._force_strategy = force_strategy
+        self._corr_kernel_cache: dict = {}
+
+    def compute_ekfac(self) -> tuple[dict, dict, dict, list]:
+        """Return ``(Q_a, Q_g, corrected_eigenvalues, groups)``."""
+        aaT, ggT, groups = self.compute()
+        Q_a = {gi: jnp.linalg.eigh(m)[1] for gi, m in aaT.items()}
+        Q_g = {gi: jnp.linalg.eigh(m)[1] for gi, m in ggT.items()}
+
+        base_key = jax.random.key(self.seed)
+        lambdas: dict = {}
+        for idx, (X, y) in enumerate(self.data):
+            kernel = self._get_corr_kernel(X)
+            B = self.batch_size_fn(X)
+            correction = kmath.loss_correction(
+                B,
+                self.num_per_example_loss_terms,
+                self.loss_fn.reduction,
+                self.num_data,
+            )
+            out = kernel(
+                self.params,
+                X,
+                y,
+                jax.random.fold_in(base_key, idx),
+                jnp.float32(correction),
+                Q_a,
+                Q_g,
+            )
+            for gi, val in out.items():
+                lambdas[gi] = val if gi not in lambdas else lambdas[gi] + val
+        return Q_a, Q_g, lambdas, groups
+
+    def _get_corr_kernel(self, X: Any) -> Callable:
+        shape_key = tuple(
+            (tuple(jnp.shape(leaf)), str(jnp.result_type(leaf)))
+            for leaf in jax.tree.leaves(X)
+        )
+        if shape_key not in self._corr_kernel_cache:
+            traced = self._get_traced(X)
+            self._corr_kernel_cache[shape_key] = jax.jit(
+                self._make_corr_kernel(traced)
+            )
+        return self._corr_kernel_cache[shape_key]
+
+    def _make_corr_kernel(self, traced) -> Callable:
+        loss_fn = self.loss_fn
+        groups, kfac_approx = self.groups, self.kfac_approx
+        force_strategy = self._force_strategy
+        grad_output_fn = make_grad_output_fn(
+            loss_fn, self.fisher_type, self.mc_samples
+        )
+        use_index = {id(u): i for i, u in enumerate(traced.layers)}
+
+        def corr_kernel(params, X, y, key, correction, Q_a, Q_g):
+            delta0 = [
+                jnp.zeros(s.shape, s.dtype) for s in traced.delta_specs(params, X)
+            ]
+            (pred, ios), pull = jax.vjp(
+                lambda d: traced.apply_with_io(params, d, X), delta0
+            )
+            rows = flatten_prediction(loss_fn, jax.lax.stop_gradient(pred))
+            y_rows = flatten_target(loss_fn, y)
+            L = rows.shape[0]
+            keys = jax.random.split(key, L)
+            G_rows = jnp.moveaxis(jax.vmap(grad_output_fn)(rows, y_rows, keys), 1, 0)
+            if loss_fn.reduction == "mean":
+                G_rows = G_rows / L
+            G_pred = G_rows.reshape(G_rows.shape[0], *jnp.shape(pred))
+            ios_zero = [jnp.zeros_like(i) for i in ios]
+            glayers = jax.vmap(lambda gp: pull((gp, ios_zero))[0])(G_pred)
+
+            out = {}
+            for gi, group in enumerate(groups):
+                g_parts = [
+                    kmath.grad_to_sharing_format(
+                        glayers[use_index[id(u)]], u.kind, u.meta, kfac_approx
+                    )
+                    for u in group.uses
+                ]
+                g = (
+                    g_parts[0]
+                    if len(g_parts) == 1
+                    else jnp.concatenate(g_parts, axis=2)
+                )
+                if group.weight_path is None:
+                    lam = kmath.eigenvalue_correction(
+                        g, Q_g[gi], None, None, force_strategy
+                    )
+                else:
+                    a_parts = [
+                        kmath.input_to_sharing_format(
+                            ios[use_index[id(u)]],
+                            u.kind,
+                            u.meta,
+                            kfac_approx,
+                            bias_pad=(
+                                None
+                                if not group.joint
+                                else (1.0 if u.bias_path is not None else 0.0)
+                            ),
+                        )
+                        for u in group.uses
+                    ]
+                    a = (
+                        a_parts[0]
+                        if len(a_parts) == 1
+                        else jnp.concatenate(a_parts, axis=1)
+                    )
+                    lam = kmath.eigenvalue_correction(
+                        g, Q_g[gi], a, Q_a[gi], force_strategy
+                    )
+                out[gi] = correction * lam
+            return out
+
+        return corr_kernel
+
+
+class EKFACLinearOperator(KFACLinearOperator):
+    """EKFAC operator: eigendecomposed canonical blocks with corrected spectra.
+
+    Canonical block: ``EighDecomposed(lambda, Kron(Q_g, Q_a))``
+    (``ekfac.py:34-67``); ``inverse(damping)`` is ``1/(lambda+delta)`` in the
+    same basis (``ekfac.py:69-86``).
+    """
+
+    def __init__(self, model_fn, loss_fn, params, data, **kwargs):
+        force_strategy = kwargs.pop("force_strategy", None)
+        computer = EKFACComputer(
+            model_fn, loss_fn, params, data, force_strategy=force_strategy, **kwargs
+        )
+        Q_a, Q_g, lambdas, groups = computer.compute_ekfac()
+
+        blocks = []
+        for gi, group in enumerate(groups):
+            lam = lambdas[gi].reshape(-1)
+            if gi in Q_a:
+                Q = KroneckerProductLinearOperator(Q_g[gi], Q_a[gi])
+            else:
+                Q = KroneckerProductLinearOperator(Q_g[gi])
+            blocks.append(EighDecomposedLinearOperator(lam, Q))
+        K = BlockDiagonalLinearOperator(blocks)
+
+        to_canonical, from_canonical = make_to_canonical(groups, params)
+        param_spec = spec_of(params)
+        canonical_spec = jax.eval_shape(to_canonical, param_spec)
+        PT = PytreeLinearOperator(to_canonical, param_spec, canonical_spec)
+        P = PT.adjoint()
+        ChainLinearOperator.__init__(self, [P, K, PT])
+        self.SELF_ADJOINT = True
+
+        self._params, self._groups = params, groups
+        self._Q_a, self._Q_g, self._lambdas = Q_a, Q_g, lambdas
+        self._to_canonical, self._from_canonical = to_canonical, from_canonical
+        self._computer = computer
+
+    @property
+    def corrected_eigenvalues(self) -> dict:
+        """Per-group corrected eigenvalues."""
+        return self._lambdas
+
+    def inverse(self, damping: float = 0.0) -> ChainLinearOperator:
+        """Damped inverse ``1/(lambda+delta)`` in the Kronecker eigenbasis."""
+        K_inv = BlockDiagonalLinearOperator(
+            [b.inverse(damping=damping) for b in self.canonical.blocks]
+        )
+        return ChainLinearOperator([self.ops[0], K_inv, self.ops[2]])
+
+    def state_dict(self) -> dict:  # noqa: D102
+        return {
+            "Q_a": {str(k): v for k, v in self._Q_a.items()},
+            "Q_g": {str(k): v for k, v in self._Q_g.items()},
+            "lambdas": {str(k): v for k, v in self._lambdas.items()},
+        }
+
+    def load_state_dict(self, state: dict) -> None:  # noqa: D102
+        self._Q_a = {int(k): jnp.asarray(v) for k, v in state["Q_a"].items()}
+        self._Q_g = {int(k): jnp.asarray(v) for k, v in state["Q_g"].items()}
+        self._lambdas = {
+            int(k): jnp.asarray(v) for k, v in state["lambdas"].items()
+        }
+        blocks = []
+        for gi, group in enumerate(self._groups):
+            lam = self._lambdas[gi].reshape(-1)
+            if gi in self._Q_a:
+                Q = KroneckerProductLinearOperator(self._Q_g[gi], self._Q_a[gi])
+            else:
+                Q = KroneckerProductLinearOperator(self._Q_g[gi])
+            blocks.append(EighDecomposedLinearOperator(lam, Q))
+        self.ops[1] = BlockDiagonalLinearOperator(blocks)

@@ -1,0 +1,228 @@
+"""KFOC: Frobenius-optimal rank-one Kronecker approximation of the GGN.
+
+Counterpart of the reference ``KFOCLinearOperator`` (``curvlinops/kfoc.py``,
+``computers/kfoc_make_fx.py``): per weight group, the best rank-one Kronecker
+approximation ``S_1 (x) S_2`` of the layer GGN block
+``G = sum_{v,n} vec(P_vn) vec(P_vn)^T`` comes from the top singular pair of
+the Van Loan rearrangement ``R(G) vec(M) = vec(sum P M P^T)``.
+
+Where the reference escapes to SciPy's ARPACK ``svds`` on a host-exported
+operator (``kfoc_make_fx.py:123-175``), the top pair here is computed by
+alternating power iteration on ``R`` / ``R^T`` entirely on device — both
+directions are two einsums over the per-sample gradient stack, so the whole
+build is one jitted program. Factors are NOT symmetrized or PSD-projected
+(``kfoc.py:27-31``). Bias-only groups store the exact GGN block (the
+single-factor Frobenius optimum).
+
+Scope matches the reference: single-batch data, ``fisher_type`` in
+{TYPE2, MC}, EXPAND only.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from curvlinops_tpu.curvature.ef import flatten_prediction, flatten_target
+from curvlinops_tpu.curvature.loss_hessian import (
+    FisherType,
+    KFACType,
+    make_grad_output_fn,
+)
+from curvlinops_tpu.kfac import math as kmath
+from curvlinops_tpu.kfac.computer import KFACComputer
+from curvlinops_tpu.kfac.operator import KFACLinearOperator
+
+
+def top_rank_one_kron_factors(
+    P: jax.Array, num_iters: int = 200
+) -> tuple[jax.Array, jax.Array]:
+    """Top singular pair of the Van Loan rearrangement, by power iteration.
+
+    Args:
+        P: Per-sample ``vec(W)`` gradients ``[V, N, d_out, d_in]`` scaled so
+            ``G = sum vec(P) vec(P)^T`` is the layer GGN block.
+        num_iters: Power-iteration steps (alternating ``R`` / ``R^T``).
+
+    Returns:
+        ``(S_1 [d_out, d_out], S_2 [d_in, d_in])`` with
+        ``S_1 (x) S_2 ~= argmin ||G - S_1 (x) S_2||_F`` over rank-one
+        Kronecker approximations. Zero blocks for ``G = 0``.
+    """
+    d_out, d_in = P.shape[2], P.shape[3]
+    eps = jnp.finfo(P.dtype).tiny
+
+    def R(M):  # [d_in, d_in] -> [d_out, d_out]
+        return jnp.einsum("vnor,rc,vnpc->op", P, M, P)
+
+    def RT(U):  # [d_out, d_out] -> [d_in, d_in]
+        return jnp.einsum("vnor,op,vnpc->rc", P, U, P)
+
+    V0 = jnp.eye(d_in, dtype=P.dtype)
+    V0 = V0 / jnp.linalg.norm(V0)
+
+    def body(_, carry):
+        V, _sigma = carry
+        U = R(V)
+        U = U / jnp.maximum(jnp.linalg.norm(U), eps)
+        W = RT(U)
+        sigma = jnp.linalg.norm(W)
+        V = W / jnp.maximum(sigma, eps)
+        return V, sigma
+
+    V, sigma = jax.lax.fori_loop(0, num_iters, body, (V0, jnp.zeros((), P.dtype)))
+    U = R(V)
+    U = U / jnp.maximum(jnp.linalg.norm(U), eps)
+    scale = jnp.sqrt(sigma)
+    S_1 = scale * U
+    S_2 = scale * V
+    # G = 0 -> sigma = 0 -> factors are exactly zero via the sqrt scale
+    return S_1, S_2
+
+
+class KFOCComputer(KFACComputer):
+    """Single-batch computer for KFOC's per-sample-gradient SVD factors."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("kfac_approx", KFACType.EXPAND)
+        super().__init__(*args, **kwargs)
+        if self.fisher_type not in (FisherType.TYPE2, FisherType.MC):
+            raise ValueError(
+                f"KFOC supports TYPE2/MC fisher types, got {self.fisher_type}."
+            )
+        if KFACType(self.kfac_approx) != KFACType.EXPAND:
+            raise ValueError("KFOC supports KFACType.EXPAND only.")
+        batches = list(self.data)
+        if len(batches) != 1:
+            raise ValueError(
+                f"KFOC requires a single batch, got {len(batches)}."
+            )
+
+    def compute_kfoc(self) -> tuple[dict, dict, list]:
+        """Return ``({gi: S_2 or None}, {gi: S_1 or bias block}, groups)``."""
+        X, y = next(iter(self.data))
+        traced = self._get_traced(X)
+        groups = self.groups
+        use_index = {id(u): i for i, u in enumerate(traced.layers)}
+        grad_output_fn = make_grad_output_fn(
+            self.loss_fn, self.fisher_type, self.mc_samples
+        )
+        loss_fn, kfac_approx = self.loss_fn, self.kfac_approx
+        B = self.batch_size_fn(X)
+        correction = kmath.loss_correction(
+            B,
+            self.num_per_example_loss_terms,
+            loss_fn.reduction,
+            self.num_data,
+        )
+
+        @jax.jit
+        def kernel(params, X, y, key, corr):
+            delta0 = [
+                jnp.zeros(s.shape, s.dtype) for s in traced.delta_specs(params, X)
+            ]
+            (pred, ios), pull = jax.vjp(
+                lambda d: traced.apply_with_io(params, d, X), delta0
+            )
+            rows = flatten_prediction(loss_fn, jax.lax.stop_gradient(pred))
+            y_rows = flatten_target(loss_fn, y)
+            L = rows.shape[0]
+            keys = jax.random.split(key, L)
+            G_rows = jnp.moveaxis(jax.vmap(grad_output_fn)(rows, y_rows, keys), 1, 0)
+            if loss_fn.reduction == "mean":
+                G_rows = G_rows / L
+            G_pred = self._unflatten_rows(G_rows, jnp.shape(pred))
+            ios_zero = [jnp.zeros_like(i) for i in ios]
+            glayers = jax.vmap(lambda gp: pull((gp, ios_zero))[0])(G_pred)
+
+            first, second = {}, {}
+            sqrt_corr = jnp.sqrt(corr)
+            for gi, group in enumerate(groups):
+                g_parts = [
+                    kmath.grad_to_sharing_format(
+                        glayers[use_index[id(u)]], u.kind, u.meta, kfac_approx
+                    )
+                    for u in group.uses
+                ]
+                g = (
+                    g_parts[0]
+                    if len(g_parts) == 1
+                    else jnp.concatenate(g_parts, axis=2)
+                )
+                if group.weight_path is None:
+                    Pb = sqrt_corr * jnp.sum(g, axis=2)  # [V, N, d_out]
+                    first[gi] = jnp.einsum("vnr,vnc->rc", Pb, Pb)
+                    continue
+                a_parts = [
+                    kmath.input_to_sharing_format(
+                        ios[use_index[id(u)]],
+                        u.kind,
+                        u.meta,
+                        kfac_approx,
+                        bias_pad=(
+                            None
+                            if not group.joint
+                            else (1.0 if u.bias_path is not None else 0.0)
+                        ),
+                    )
+                    for u in group.uses
+                ]
+                a = (
+                    a_parts[0]
+                    if len(a_parts) == 1
+                    else jnp.concatenate(a_parts, axis=1)
+                )
+                Pw = sqrt_corr * jnp.einsum("vnsi,nsj->vnij", g, a)
+                S_1, S_2 = top_rank_one_kron_factors(Pw)
+                first[gi], second[gi] = S_1, S_2
+            return first, second
+
+        first, second = kernel(
+            self.params, X, y, jax.random.key(self.seed), jnp.float32(correction)
+        )
+        return second, first, groups
+
+
+class KFOCLinearOperator(KFACLinearOperator):
+    """Frobenius-optimal rank-one Kronecker proxy of the GGN.
+
+    Warning:
+        Factors are not symmetrized or PSD-projected (``kfoc.py:27-31``);
+        verify before using with routines that assume PSD factors.
+    """
+
+    def __init__(
+        self,
+        model_fn,
+        loss_fn,
+        params: Any,
+        data,
+        *,
+        fisher_type: str = FisherType.MC,
+        mc_samples: int = 1,
+        separate_weight_and_bias: bool = True,
+        num_data: int | None = None,
+        num_per_example_loss_terms: int | None = None,
+        seed: int = 2147483647,
+        batch_size_fn=None,
+        check_deterministic: bool = True,
+    ):
+        computer = KFOCComputer(
+            model_fn,
+            loss_fn,
+            params,
+            data,
+            fisher_type=fisher_type,
+            mc_samples=mc_samples,
+            separate_weight_and_bias=separate_weight_and_bias,
+            num_data=num_data,
+            num_per_example_loss_terms=num_per_example_loss_terms,
+            seed=seed,
+            batch_size_fn=batch_size_fn,
+            check_deterministic=check_deterministic,
+        )
+        aaT, ggT, groups = computer.compute_kfoc()
+        self._build_from_factors(params, groups, aaT, ggT)
+        self._computer = computer

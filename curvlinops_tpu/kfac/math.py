@@ -186,3 +186,59 @@ def loss_correction(
 def gradient_covariance(g: jax.Array, correction: float) -> jax.Array:
     """``ggT = correction * sum_{v,b,s} g g^T`` over sharing format grads."""
     return correction * jnp.einsum("vbsi,vbsj->ij", g, g)
+
+
+def eigenvalue_correction(
+    g: jax.Array,
+    Q_g: jax.Array,
+    a: jax.Array | None,
+    Q_a: jax.Array | None,
+    force_strategy: str | None = None,
+) -> jax.Array:
+    r"""EKFAC corrected eigenvalues ``sum_{v,n} (Q_g^T P_vn Q_a)^2``.
+
+    ``P_vn = sum_s g_vns a_ns^T`` are per-sample weight gradients in sharing
+    format. Two contraction orders with different peak memory, selected like
+    the reference (``ekfac_hooks.py:208-238``): per-example gradients
+    (``N*D1*D2``) vs Gramian (``N*S^2*(D1+D2)``).
+
+    Args:
+        g: ``[V, B, S, D1]`` output gradients (KFAC-scaled).
+        Q_g: ``[D1, D1]`` eigenvectors of the gradient covariance.
+        a: ``[B, S, D2]`` inputs (with bias column when joint), or ``None``
+            for a bias-only group.
+        Q_a: ``[D2, D2]`` eigenvectors of the input covariance, or ``None``.
+        force_strategy: ``'gramian'`` / ``'per_example_gradients'`` / ``None``
+            (auto).
+
+    Returns:
+        ``[D1, D2]`` correction (``[D1]`` for the bias case).
+
+    Raises:
+        ValueError: For an unknown ``force_strategy`` or inconsistent
+            ``a``/``Q_a``.
+    """
+    if force_strategy not in ("gramian", "per_example_gradients", None):
+        raise ValueError(f"Invalid force_strategy: {force_strategy}.")
+    if (a is None) != (Q_a is None):
+        raise ValueError("a and Q_a must both be None or both be arrays.")
+
+    if a is None:  # bias-only: P_vn = sum_s g_vns
+        rot = jnp.einsum("jd,vbsj->vbd", Q_g, g)
+        return jnp.sum(rot**2, axis=(0, 1))
+
+    S = g.shape[2]
+    D1, D2 = Q_g.shape[0], Q_a.shape[0]
+    use_gramian = (
+        force_strategy == "gramian"
+        if force_strategy is not None
+        else S**2 * (D1 + D2) < D1 * D2
+    )
+    if use_gramian:
+        a_rot = jnp.einsum("bsj,jd->bsd", a, Q_a)
+        g_rot = jnp.einsum("vbsi,id->vbsd", g, Q_g)
+        a_gram = jnp.einsum("bsd,btd->bstd", a_rot, a_rot)
+        g_gram = jnp.einsum("vbsd,vbtd->vbstd", g_rot, g_rot)
+        return jnp.einsum("vbsti,bstj->ij", g_gram, a_gram)
+    rotated = jnp.einsum("id,vbsi,bsj,je->vbde", Q_g, g, a, Q_a)
+    return jnp.sum(rotated**2, axis=(0, 1))

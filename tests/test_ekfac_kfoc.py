@@ -1,0 +1,184 @@
+"""EKFAC and KFOC tests: exactness, optimality, strategy agreement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curvlinops_tpu import FisherType
+from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
+from curvlinops_tpu.kfac.kfoc import KFOCLinearOperator
+from curvlinops_tpu.kfac.operator import KFACLinearOperator
+
+from tests.cases import make_case
+from tests.test_kfac import _make_linear_case, blockdiag_projection
+from tests.utils import dense_ggn, report_nonclose
+
+
+def test_ekfac_exact_one_datum():
+    """One datum + TYPE2: EKFAC == KFAC == block-diagonal GGN."""
+    case = make_case("mlp_ce_mean")
+    X, y = case["data"][0]
+    data = [(X[:1], y[:1])]
+    ekfac = EKFACLinearOperator(
+        case["model_fn"],
+        case["loss_fn"],
+        case["params"],
+        data,
+        fisher_type=FisherType.TYPE2,
+    )
+    dense = dense_ggn(case["model_fn"], case["loss_fn"], case["params"], data)
+    expected = blockdiag_projection(dense, case["params"], ekfac.groups)
+    report_nonclose(ekfac.todense(), expected, rtol=1e-3, atol=1e-5, name="ekfac")
+
+
+def test_ekfac_closer_than_kfac():
+    """EKFAC is at least as close to the GGN block-diagonal in Frobenius norm."""
+    case = make_case("mlp_ce_mean")
+    kw = dict(fisher_type=FisherType.TYPE2, check_deterministic=False)
+    kfac = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"], **kw
+    )
+    ekfac = EKFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"], **kw
+    )
+    dense = dense_ggn(case["model_fn"], case["loss_fn"], case["params"], case["data"])
+    target = blockdiag_projection(dense, case["params"], kfac.groups)
+    err_kfac = np.linalg.norm(np.asarray(kfac.todense()) - target)
+    err_ekfac = np.linalg.norm(np.asarray(ekfac.todense()) - target)
+    assert err_ekfac <= err_kfac * (1 + 1e-5), (err_ekfac, err_kfac)
+
+
+def test_ekfac_strategies_agree():
+    """Gramian and per-example-gradient eigencorrections coincide."""
+    case = _make_linear_case("mean")
+    kw = dict(fisher_type=FisherType.TYPE2, check_deterministic=False)
+    lam_a = EKFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        force_strategy="gramian", **kw,
+    ).corrected_eigenvalues
+    lam_b = EKFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        force_strategy="per_example_gradients", **kw,
+    ).corrected_eigenvalues
+    for gi in lam_a:
+        report_nonclose(lam_a[gi], lam_b[gi], rtol=1e-4, atol=1e-6,
+                        name=f"strategy {gi}")
+
+
+def test_ekfac_rejects_3d_output():
+    case = make_case("seq_ce_mean")
+    with pytest.raises(ValueError, match="2d"):
+        EKFACLinearOperator(
+            case["model_fn"], case["loss_fn"], case["params"], case["data"],
+            check_deterministic=False,
+        )
+
+
+def test_ekfac_inverse():
+    case = _make_linear_case("mean")
+    ekfac = EKFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        fisher_type=FisherType.TYPE2, check_deterministic=False,
+    )
+    dense = np.asarray(ekfac.todense())
+    delta = 0.3
+    inv = ekfac.inverse(damping=delta)
+    v = np.random.default_rng(0).standard_normal(ekfac.shape[0]).astype(np.float32)
+    expected = np.linalg.solve(dense + delta * np.eye(len(dense)), v)
+    report_nonclose(inv @ v, expected, rtol=5e-3, atol=1e-4, name="ekfac inverse")
+
+
+def _dense_vanloan_top_pair(G, d1, d2):
+    R = G.reshape(d1, d2, d1, d2).transpose(0, 2, 1, 3).reshape(d1 * d1, d2 * d2)
+    u, s, vt = np.linalg.svd(R, full_matrices=False)
+    S1 = np.sqrt(s[0]) * u[:, 0].reshape(d1, d1)
+    S2 = np.sqrt(s[0]) * vt[0].reshape(d2, d2)
+    return S1, S2
+
+
+def test_kfoc_factors_match_dense_vanloan_svd():
+    """KFOC factors reproduce the dense Van Loan top singular pair."""
+    case = make_case("mlp_ce_mean")
+    X, y = case["data"][0]
+    data = [(X, y)]
+    kfoc = KFOCLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data,
+        fisher_type=FisherType.TYPE2, check_deterministic=False,
+    )
+    dense = dense_ggn(case["model_fn"], case["loss_fn"], case["params"], data)
+
+    from tests.test_kfac import _leaf_ranges
+
+    ranges = _leaf_ranges(case["params"])
+    for gi, group in enumerate(kfoc.groups):
+        if group.weight_path is None:
+            # bias block stores the exact GGN block
+            lo, hi = ranges[tuple(group.bias_path)]
+            block = dense[lo:hi, lo:hi]
+            report_nonclose(
+                kfoc._ggT[gi], block, rtol=1e-3, atol=1e-5, name=f"bias {gi}"
+            )
+            continue
+        # canonical weight block of the dense GGN: need the canonical
+        # permutation; for the MLP, W is [d_in, d_out] with ravel order
+        # (in, out) while canonical is [d_out, d_in] -> permute
+        lo, hi = ranges[tuple(group.weight_path)]
+        block = dense[lo:hi, lo:hi]
+        d_out, d_in = group.d_out, group.d_in
+        # flat index (in, out) -> canonical (out, in)
+        perm = np.arange(d_in * d_out).reshape(d_in, d_out).T.reshape(-1)
+        block_canon = block[np.ix_(perm, perm)]
+        S1_ref, S2_ref = _dense_vanloan_top_pair(block_canon, d_out, d_in)
+        S1, S2 = np.asarray(kfoc._ggT[gi]), np.asarray(kfoc._aaT[gi])
+        # compare the Kronecker products (sign ambiguity cancels)
+        report_nonclose(
+            np.kron(S1, S2),
+            np.kron(S1_ref, S2_ref),
+            rtol=5e-3,
+            atol=1e-4,
+            name=f"kfoc block {gi}",
+        )
+
+
+def test_kfoc_rejects_multi_batch_and_bad_config():
+    case = make_case("mlp_ce_mean")
+    with pytest.raises(ValueError, match="single batch"):
+        KFOCLinearOperator(
+            case["model_fn"], case["loss_fn"], case["params"], case["data"],
+            check_deterministic=False,
+        )
+    X, y = case["data"][0]
+    with pytest.raises(ValueError, match="TYPE2/MC"):
+        KFOCLinearOperator(
+            case["model_fn"], case["loss_fn"], case["params"], [(X, y)],
+            fisher_type=FisherType.EMPIRICAL, mc_samples=1,
+            check_deterministic=False,
+        )
+
+
+def test_kfoc_zero_ggn_block():
+    """A layer with zero gradients yields zero factors (no divergence)."""
+    import curvlinops_tpu as cl
+
+    key = jax.random.key(0)
+    params = {
+        "W1": 0.3 * jax.random.normal(key, (4, 3)),
+        "W2": jnp.zeros((3, 2)),  # zero weight kills gradients through W1
+    }
+
+    def model(p, x):
+        return (x @ p["W1"]) @ p["W2"]
+
+    X = jax.random.normal(jax.random.key(1), (5, 4))
+    y = jax.random.normal(jax.random.key(2), (5, 2))
+    kfoc = KFOCLinearOperator(
+        model, cl.MSELoss("mean"), params, [(X, y)],
+        fisher_type=FisherType.TYPE2, check_deterministic=False,
+    )
+    gi = [i for i, g in enumerate(kfoc.groups) if g.weight_path == jax.tree_util.tree_flatten_with_path(params)[0][0][0]]
+    # W1's block: gradients are zero because W2 == 0
+    w1_group = [i for i, g in enumerate(kfoc.groups)
+                if "W1" in str(g.weight_path)][0]
+    assert float(jnp.abs(kfoc._ggT[w1_group]).max()) == 0.0
+    assert float(jnp.abs(kfoc._aaT[w1_group]).max()) == 0.0
