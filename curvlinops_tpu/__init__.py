@@ -17,6 +17,16 @@ from curvlinops_tpu.curvature.jacobian import (
     TransposedJacobianLinearOperator,
 )
 from curvlinops_tpu.curvature.loss_hessian import FisherType, KFACType
+from curvlinops_tpu.estimators.diagonal import hutchinson_diag, xdiag
+from curvlinops_tpu.estimators.norm import hutchinson_squared_fro
+from curvlinops_tpu.estimators.trace import hutchinson_trace, hutchpp_trace, xtrace
+from curvlinops_tpu.solvers.eigsh import topk_eigenpairs
+from curvlinops_tpu.solvers.lanczos import (
+    LanczosApproximateLogSpectrumCached,
+    LanczosApproximateSpectrumCached,
+    lanczos_approximate_log_spectrum,
+    lanczos_approximate_spectrum,
+)
 from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
 from curvlinops_tpu.kfac.kfoc import KFOCLinearOperator
 from curvlinops_tpu.kfac.operator import KFACLinearOperator
@@ -77,4 +87,19 @@ __all__ = [
     "MSELoss",
     "CrossEntropyLoss",
     "BCEWithLogitsLoss",
+    # spectral properties
+    "lanczos_approximate_spectrum",
+    "lanczos_approximate_log_spectrum",
+    "LanczosApproximateSpectrumCached",
+    "LanczosApproximateLogSpectrumCached",
+    "topk_eigenpairs",
+    # trace estimation
+    "hutchinson_trace",
+    "hutchpp_trace",
+    "xtrace",
+    # diagonal estimation
+    "hutchinson_diag",
+    "xdiag",
+    # norm estimation
+    "hutchinson_squared_fro",
 ]

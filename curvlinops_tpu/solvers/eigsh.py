@@ -1,0 +1,51 @@
+"""On-device top-k eigenpairs and singular values via LOBPCG / Lanczos.
+
+TPU-native replacement for the reference's host escape to SciPy's ARPACK
+``eigsh``/``svds`` (``_torch_base.py:560-592`` + call sites in
+``papyan2020traces/spectrum.py`` and ``computers/kfoc_make_fx.py``): eigenpair
+workloads never leave the device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.sparse.linalg import lobpcg_standard
+
+
+def topk_eigenpairs(
+    A, k: int, *, maxiter: int = 100, tol: float | None = None,
+    key: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Largest-``k`` eigenpairs of a symmetric PSD operator via LOBPCG.
+
+    Args:
+        A: Symmetric operator on flat vectors (supports ``A @ X`` matmats).
+        k: Number of eigenpairs.
+        maxiter: LOBPCG iteration cap.
+        tol: Residual tolerance (library default when ``None``).
+        key: PRNG key for the start block.
+
+    Returns:
+        ``(eigenvalues [k] descending, eigenvectors [dim, k])``.
+    """
+    dim = A.shape[0]
+    key = key if key is not None else jax.random.key(0)
+    X0 = jax.random.normal(key, (dim, k), A.dtype)
+
+    def matmat(X):
+        return A @ X
+
+    evals, evecs, _ = lobpcg_standard(matmat, X0, m=maxiter, tol=tol)
+    order = jnp.argsort(evals)[::-1]
+    return evals[order], evecs[:, order]
+
+
+def smallest_eigenvalue(
+    A, *, num_iters: int = 64, key: jax.Array | None = None
+) -> jax.Array:
+    """Smallest eigenvalue estimate via reorthogonalized Lanczos."""
+    from curvlinops_tpu.solvers.lanczos import lanczos_extreme_eigenvalues
+
+    lo, _ = lanczos_extreme_eigenvalues(A, num_iters=num_iters, key=key)
+    return lo
