@@ -135,6 +135,8 @@ class KFACComputer:
         seed: int = 2147483647,
         batch_size_fn: Callable | None = None,
         check_deterministic: bool = True,
+        mesh=None,
+        data_axis: str = "data",
     ):
         if not isinstance(loss_fn, SUPPORTED_LOSSES):
             raise ValueError(
@@ -152,6 +154,7 @@ class KFACComputer:
         self.kfac_approx = kfac_approx
         self.separate_weight_and_bias = separate_weight_and_bias
         self.seed = seed
+        self.mesh, self.data_axis = mesh, data_axis
         self.batch_size_fn = batch_size_fn or default_batch_size
         self._kernel_cache: dict = {}
         self._traced_cache: dict = {}
@@ -299,9 +302,19 @@ class KFACComputer:
             self._determinism_probe()
 
         base_key = jax.random.key(self.seed)
+        params = self.params
+        if self.mesh is not None:
+            from curvlinops_tpu.parallel.mesh import replicate
+
+            params = replicate(params, self.mesh)
         aaT_acc: dict = {}
         ggT_acc: dict = {}
         for idx, (X, y) in enumerate(self.data):
+            if self.mesh is not None:
+                from curvlinops_tpu.parallel.mesh import shard_batch
+
+                X = shard_batch(X, self.mesh, self.data_axis)
+                y = shard_batch(y, self.mesh, self.data_axis)
             kernel = self._get_kernel(X)
             B = self.batch_size_fn(X)
             correction = kmath.loss_correction(
@@ -311,7 +324,7 @@ class KFACComputer:
                 self.num_data,
             )
             aaT, ggT = kernel(
-                self.params,
+                params,
                 X,
                 y,
                 jax.random.fold_in(base_key, idx),

@@ -127,6 +127,8 @@ class KFACLinearOperator(ChainLinearOperator):
         seed: int = 2147483647,
         batch_size_fn: Callable | None = None,
         check_deterministic: bool = True,
+        mesh=None,
+        data_axis: str = "data",
     ):
         computer = KFACComputer(
             model_fn,
@@ -142,6 +144,8 @@ class KFACLinearOperator(ChainLinearOperator):
             seed=seed,
             batch_size_fn=batch_size_fn,
             check_deterministic=check_deterministic,
+            mesh=mesh,
+            data_axis=data_axis,
         )
         aaT, ggT, groups = computer.compute()
         self._build_from_factors(params, groups, aaT, ggT)

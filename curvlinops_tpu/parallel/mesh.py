@@ -1,0 +1,81 @@
+"""Device-mesh utilities for data-parallel curvature computation.
+
+The parallelism the reference lists as a future idea (``README.md:71``),
+built the TPU way (SURVEY.md §2.5): batches are sharded over a mesh's data
+axis with ``NamedSharding``, parameters are replicated, and the jitted
+per-batch kernels are partitioned by GSPMD — XLA inserts the ``psum`` over
+ICI at the two reduction points the math has (matmat accumulation and
+KFAC covariance einsums). Multi-host runs ride the same collectives over DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Sequence[int] | None = None,
+) -> Mesh:
+    """Build a mesh over the first ``n_devices`` devices.
+
+    Args:
+        n_devices: Number of devices (all available if ``None``).
+        axis_names: Mesh axis names; default is a 1D data axis.
+        shape: Per-axis sizes; default puts all devices on the first axis.
+
+    Returns:
+        A ``jax.sharding.Mesh``.
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = np.asarray(devices[:n])
+    if shape is None:
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate every leaf of a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda leaf: jax.device_put(leaf, sharding), tree)
+
+
+def shard_batch(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Shard every leaf's leading (batch) dimension over a mesh axis."""
+
+    def shard(leaf):
+        ndim = jax.numpy.ndim(leaf)
+        spec = P(axis, *([None] * (ndim - 1))) if ndim else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(shard, tree)
+
+
+def shard_params(tree: Any, mesh: Mesh, axis: str = "model", min_size: int = 1024) -> Any:
+    """Shard large parameter matrices over a model axis (tensor-parallel style).
+
+    Each 2D+ leaf whose trailing dimension is divisible by the axis size and
+    at least ``min_size`` is sharded on that dimension; everything else is
+    replicated. XLA inserts the all-gathers/reduce-scatters where the jitted
+    curvature kernels need them.
+    """
+    axis_size = mesh.shape[axis]
+
+    def place(leaf):
+        shape = jax.numpy.shape(leaf)
+        if (
+            len(shape) >= 2
+            and shape[-1] % axis_size == 0
+            and shape[-1] >= min_size
+        ):
+            spec = P(*([None] * (len(shape) - 1)), axis)
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree.map(place, tree)

@@ -1,0 +1,122 @@
+"""Model zoo: shapes, curvature-operator compatibility, KFAC layer discovery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curvlinops_tpu import (
+    GGNLinearOperator,
+    HessianLinearOperator,
+    KFACLinearOperator,
+)
+from curvlinops_tpu.models import (
+    TINY_GPT,
+    cifar10_resnet18,
+    gpt_apply,
+    init_gpt,
+    kfac_restricted,
+    mnist_mlp,
+    shakespeare_nanogpt,
+)
+from curvlinops_tpu.models.gpt import GPTConfig
+from curvlinops_tpu.models.resnet import init_resnet, resnet_apply
+
+from functools import partial
+
+
+def test_mlp_problem():
+    prob = mnist_mlp(batch_size=8)
+    X, y = prob.data[0]
+    logits = prob.model_fn(prob.params, X)
+    assert logits.shape == (8, 10)
+    G = GGNLinearOperator(
+        prob.model_fn, prob.loss_fn, prob.params, prob.data,
+        check_deterministic=False,
+    )
+    v = np.random.default_rng(0).standard_normal(G.shape[0]).astype(np.float32)
+    assert np.isfinite(G @ v).all()
+
+
+def test_resnet18_tiny_forward_and_ggn():
+    # tiny spatial input keeps the test fast; architecture is the real one
+    key = jax.random.key(0)
+    params = init_resnet(key, "resnet18", 10)
+    apply_fn = partial(resnet_apply, block="basic")
+    X = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3))
+    y = jax.random.randint(jax.random.key(2), (2,), 0, 10)
+    logits = apply_fn(params, X)
+    assert logits.shape == (2, 10)
+
+    G = GGNLinearOperator(
+        apply_fn, cifar10_resnet18(batch_size=2).loss_fn, params, [(X, y)],
+        check_deterministic=False,
+    )
+    v_tree = jax.tree.map(jnp.zeros_like, params)
+    out = G.matvec_tree(v_tree)  # zero in, zero out (smoke)
+    assert all(float(jnp.abs(leaf).max()) == 0 for leaf in jax.tree.leaves(out))
+
+
+def test_resnet18_kfac_layer_discovery():
+    prob = cifar10_resnet18(batch_size=2)
+    kfac = KFACLinearOperator(
+        prob.kfac_model_fn,
+        prob.loss_fn,
+        prob.kfac_params,
+        prob.data,
+        fisher_type="mc",
+        mc_samples=1,
+        check_deterministic=False,
+    )
+    kinds = [u.kind for g in kfac.groups for u in g.uses if g.weight_path]
+    assert kinds.count("conv") >= 19, "all resnet18 convs must be discovered"
+    assert "dense" in kinds, "the fc layer must be discovered"
+    v = np.random.default_rng(1).standard_normal(kfac.shape[0]).astype(np.float32)
+    assert np.isfinite(kfac @ v).all()
+
+
+def test_tiny_gpt_forward_and_kfac():
+    config = TINY_GPT
+    params = init_gpt(jax.random.key(0), config)
+    apply_fn = partial(gpt_apply, config=config)
+    B, T = 2, config.block_size
+    tokens = jax.random.randint(jax.random.key(1), (B, T), 0, config.vocab_size)
+    logits = apply_fn(params, tokens)
+    assert logits.shape == (B * T, config.vocab_size)
+
+    from curvlinops_tpu import CrossEntropyLoss
+
+    y = jax.random.randint(jax.random.key(2), (B * T,), 0, config.vocab_size)
+    data = [(tokens, y)]
+
+    # Hessian over ALL params (embeddings, layernorms included)
+    H = HessianLinearOperator(
+        apply_fn, CrossEntropyLoss("mean"), params, data, check_deterministic=False
+    )
+    v = np.random.default_rng(2).standard_normal(H.shape[0]).astype(np.float32)
+    assert np.isfinite(H @ v).all()
+
+    # KFAC over the dense subset (qkv/proj/fc discovered; ln/wte/wpe closed over)
+    kfac_fn, kfac_params = kfac_restricted(apply_fn, params)
+    kfac = KFACLinearOperator(
+        kfac_fn,
+        CrossEntropyLoss("mean"),
+        kfac_params,
+        data,
+        fisher_type="mc",
+        mc_samples=1,
+        check_deterministic=False,
+    )
+    n_weight_groups = sum(1 for g in kfac.groups if g.weight_path is not None)
+    assert n_weight_groups == 4 * config.n_layer  # qkv, proj, fc, mlp_proj / layer
+    v = np.random.default_rng(3).standard_normal(kfac.shape[0]).astype(np.float32)
+    assert np.isfinite(kfac @ v).all()
+
+
+def test_nanogpt_problem_constructs_tiny():
+    prob = shakespeare_nanogpt(batch_size=2, config=GPTConfig(
+        block_size=8, vocab_size=16, n_layer=1, n_head=2, n_embd=8
+    ))
+    X, y = prob.data[0]
+    assert prob.model_fn(prob.params, X).shape == (2 * 8, 16)
+    assert y.shape == (2 * 8,)

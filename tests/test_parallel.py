@@ -1,0 +1,109 @@
+"""Data-parallel execution on the virtual 8-device CPU mesh.
+
+The analogue of distributed tests the reference doesn't have (SURVEY.md §4):
+sharded results must match single-device results exactly (modulo float
+reduction order).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curvlinops_tpu import GGNLinearOperator, HessianLinearOperator
+from curvlinops_tpu.kfac.operator import KFACLinearOperator
+from curvlinops_tpu.parallel.mesh import make_mesh, shard_params
+
+from tests.cases import make_case
+from tests.utils import report_nonclose
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_ggn_matvec_matches_across_mesh(mesh):
+    case = make_case("mlp_ce_mean", seed=1)
+    # batch must be divisible by the mesh; cases use N=12, batches of 4 -> pad
+    X = jnp.concatenate([case["data"][0][0]] * 2)[:8]
+    y = jnp.concatenate([case["data"][0][1]] * 2)[:8]
+    data = [(X, y)]
+
+    single = GGNLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data,
+        check_deterministic=False,
+    )
+    sharded = GGNLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data,
+        mesh=mesh, check_deterministic=False,
+    )
+    v = np.random.default_rng(0).standard_normal(single.shape[0]).astype(np.float32)
+    report_nonclose(sharded @ v, single @ v, rtol=1e-5, atol=1e-6,
+                    name="dp ggn matvec")
+
+
+def test_hessian_gradient_and_loss_across_mesh(mesh):
+    case = make_case("mlp_mse_mean", seed=2)
+    X = jnp.concatenate([case["data"][0][0]] * 2)
+    y = jnp.concatenate([case["data"][0][1]] * 2)
+    data = [(X, y)]
+    single = HessianLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data,
+        check_deterministic=False,
+    )
+    sharded = HessianLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data,
+        mesh=mesh, check_deterministic=False,
+    )
+    g1, l1 = single.gradient_and_loss()
+    g2, l2 = sharded.gradient_and_loss()
+    report_nonclose(l1, l2, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        report_nonclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_kfac_factors_across_mesh(mesh):
+    case = make_case("mlp_ce_mean", seed=3)
+    X = jnp.concatenate([case["data"][0][0]] * 2)[:8]
+    y = jnp.concatenate([case["data"][0][1]] * 2)[:8]
+    data = [(X, y)]
+    kw = dict(fisher_type="type-2", check_deterministic=False)
+    single = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data, **kw
+    )
+    sharded = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data, mesh=mesh, **kw
+    )
+    for gi in single._ggT:
+        report_nonclose(
+            sharded._ggT[gi], single._ggT[gi], rtol=1e-5, atol=1e-6,
+            name=f"ggT {gi}",
+        )
+    for gi in single._aaT:
+        report_nonclose(
+            sharded._aaT[gi], single._aaT[gi], rtol=1e-5, atol=1e-6,
+            name=f"aaT {gi}",
+        )
+
+
+def test_2d_mesh_with_sharded_params():
+    """dp x mp mesh: params sharded over 'model', batch over 'data'."""
+    mesh2d = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    case = make_case("mlp_ce_mean", seed=4)
+    X = jnp.concatenate([case["data"][0][0]] * 2)[:8]
+    y = jnp.concatenate([case["data"][0][1]] * 2)[:8]
+    data = [(X, y)]
+
+    single = GGNLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data,
+        check_deterministic=False,
+    )
+    params_sharded = shard_params(case["params"], mesh2d, min_size=2)
+    op = GGNLinearOperator(
+        case["model_fn"], case["loss_fn"], params_sharded, data,
+        mesh=mesh2d, check_deterministic=False,
+    )
+    v = np.random.default_rng(1).standard_normal(op.shape[0]).astype(np.float32)
+    report_nonclose(op @ v, single @ v, rtol=1e-5, atol=1e-6, name="dp+mp matvec")
