@@ -1,0 +1,242 @@
+"""Full benchmark harness over the reference's four problems.
+
+Counterpart of ``docs/examples/basic_usage/example_benchmark.py`` /
+``benchmark_execute.py``: measures, per problem and operator,
+
+- matvec time (device-side: R chained matvecs inside ONE jitted fori_loop,
+  excluding host dispatch; ``min`` over repeats like the reference),
+- precompute time for KFAC-like operators (factor build, eigendecomposition),
+- peak device memory when the backend reports it,
+
+and writes one JSON file per problem under ``benchmarks/results/``.
+
+Usage::
+
+    python benchmarks/run.py --problem mnist_mlp --ops gradient,ggn,kfac
+    python benchmarks/run.py --problem cifar10_resnet18   # all default ops
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax as _jax_cfg  # noqa: E402
+
+_jax_cfg.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+_jax_cfg.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax
+import jax.numpy as jnp
+
+REPEATS_IN_LOOP = 100
+TIMED_RUNS = 3
+def _device_peak_memory_gib() -> float | None:
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get("peak_bytes_in_use", 0) / 2**30
+    except Exception:
+        return None
+
+
+def _timed_chain(kernel_apply, init, *args) -> tuple[float, object]:
+    """Per-application device time of a data-dependent dispatch chain.
+
+    Each call consumes the previous output (no device-side overlap possible).
+    The reported number is the MARGINAL rate between two chain lengths with a
+    host scalar readback as the completion barrier — this cancels every fixed
+    overhead (dispatch latency, tunnel round trips, readback) and cannot be
+    fooled by runtimes whose ``block_until_ready`` returns early.
+    """
+    fn = jax.jit(lambda m, *a: kernel_apply(m, *a))
+    out = fn(init, *args)
+    jax.block_until_ready(out)  # compile + warmup
+
+    def run_chain(n: int) -> float:
+        t0 = time.perf_counter()
+        o = init
+        for _ in range(n):
+            o = fn(o, *args)
+        float(jnp.sum(jax.tree.leaves(o)[0]))
+        return time.perf_counter() - t0
+
+    run_chain(3)
+    n1, n2 = max(REPEATS_IN_LOOP // 5, 1), REPEATS_IN_LOOP
+    best = float("inf")
+    for _ in range(TIMED_RUNS):
+        t1, t2 = run_chain(n1), run_chain(n2)
+        best = min(best, (t2 - t1) / (n2 - n1))
+    return max(best, 0.0) * 1e3, out
+
+
+def bench_matvec_operator(make_kernel, prob) -> float:
+    """Device-time (ms) of one matvec of a per-batch curvature kernel."""
+    X, y = prob.data[0]
+    kernel = make_kernel(prob.model_fn, prob.loss_fn)
+    M = jax.tree.map(lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), prob.params)
+    key = jax.random.key(0)
+    c = jnp.float32(1.0)
+
+    ms, _ = _timed_chain(
+        lambda m, params, X, y: kernel(params, X, y, m, c, key),
+        M,
+        prob.params,
+        X,
+        y,
+    )
+    return ms
+
+
+def bench_gradient(prob) -> float:
+    X, y = prob.data[0]
+
+    def grad_step(g_prev, params, X, y):
+        # feed the previous gradient back in so iterations are dependent
+        shifted = jax.tree.map(lambda p, g: p + 0.0 * g, params, g_prev)
+        return jax.grad(lambda p: prob.loss_fn(prob.model_fn(p, X), y))(shifted)
+
+    g0 = jax.tree.map(jnp.zeros_like, prob.params)
+    ms, _ = _timed_chain(grad_step, g0, prob.params, X, y)
+    return ms
+
+
+def bench_kfac(prob, results: dict) -> None:
+    from curvlinops_tpu.kfac.operator import KFACLinearOperator
+
+    kfac = KFACLinearOperator(
+        prob.kfac_model_fn,
+        prob.loss_fn,
+        prob.kfac_params,
+        prob.data,
+        fisher_type="mc",
+        mc_samples=1,
+        check_deterministic=False,
+    )
+    jax.block_until_ready((kfac._aaT, kfac._ggT))
+    # second pass reuses the compiled per-batch-shape kernel: steady-state time
+    t0 = time.perf_counter()
+    aaT, ggT, _ = kfac._computer.compute()
+    jax.block_until_ready((aaT, ggT))
+    results["KFAC factors (s)"] = round(time.perf_counter() - t0, 4)
+
+    M = jax.tree.map(
+        lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), prob.kfac_params
+    )
+    ms, _ = _timed_chain(lambda m: kfac._matmat(m), M)
+    results["KFAC matvec (ms)"] = round(ms, 3)
+
+    # warm up the eigh compiles once, then time the steady-state build
+    inv = kfac.inverse(damping=1e-3, use_exact_damping=True)
+    for block in inv.ops[1].blocks:
+        jax.block_until_ready(block.eigenvalues)
+    t0 = time.perf_counter()
+    inv = kfac.inverse(damping=1e-3, use_exact_damping=True)
+    for block in inv.ops[1].blocks:
+        jax.block_until_ready(block.eigenvalues)
+    results["KFAC exact-damped inverse build (s)"] = round(
+        time.perf_counter() - t0, 4
+    )
+    ms, _ = _timed_chain(lambda m: inv._matmat(m), M)
+    results["KFAC inverse matvec (ms)"] = round(ms, 3)
+
+
+def bench_ekfac(prob, results: dict) -> None:
+    from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
+
+    ekfac = EKFACLinearOperator(
+        prob.kfac_model_fn,
+        prob.loss_fn,
+        prob.kfac_params,
+        prob.data,
+        fisher_type="mc",
+        mc_samples=1,
+        check_deterministic=False,
+    )
+    jax.block_until_ready(ekfac._lambdas)
+    t0 = time.perf_counter()
+    out = ekfac._computer.compute_ekfac()
+    jax.block_until_ready(out[:3])
+    results["EKFAC build (s)"] = round(time.perf_counter() - t0, 4)
+
+    M = jax.tree.map(
+        lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), prob.kfac_params
+    )
+    ms, _ = _timed_chain(lambda m: ekfac._matmat(m), M)
+    results["EKFAC matvec (ms)"] = round(ms, 3)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--problem",
+        default="mnist_mlp",
+        choices=["mnist_mlp", "cifar10_resnet18", "imagenet_resnet50",
+                 "shakespeare_nanogpt"],
+    )
+    parser.add_argument(
+        "--ops",
+        default="gradient,hessian,ggn,ggn_mc,ef,kfac,ekfac",
+        help="comma-separated subset",
+    )
+    parser.add_argument("--batch-size", type=int, default=None)
+    args = parser.parse_args()
+
+    from curvlinops_tpu.curvature.ef import make_batch_ef_matmat
+    from curvlinops_tpu.curvature.ggn import (
+        make_batch_ggn_matmat,
+        make_batch_ggn_mc_matmat,
+    )
+    from curvlinops_tpu.curvature.hessian import make_batch_hessian_matmat
+    from curvlinops_tpu.models import PROBLEMS
+
+    setup = PROBLEMS["synthetic_" + args.problem]
+    prob = setup(**({"batch_size": args.batch_size} if args.batch_size else {}))
+    ops = args.ops.split(",")
+
+    print(f"problem={prob.name} device={jax.devices()[0]}", file=sys.stderr)
+    results: dict = {"problem": prob.name, "device": str(jax.devices()[0])}
+
+    if "gradient" in ops:
+        results["gradient+loss (ms)"] = round(bench_gradient(prob), 3)
+    if "hessian" in ops:
+        results["Hessian matvec (ms)"] = round(
+            bench_matvec_operator(make_batch_hessian_matmat, prob), 3
+        )
+    if "ggn" in ops:
+        results["GGN matvec (ms)"] = round(
+            bench_matvec_operator(make_batch_ggn_matmat, prob), 3
+        )
+    if "ggn_mc" in ops:
+        results["MC-Fisher matvec (ms)"] = round(
+            bench_matvec_operator(
+                lambda f, l: make_batch_ggn_mc_matmat(f, l, 1), prob
+            ),
+            3,
+        )
+    if "ef" in ops:
+        results["Empirical Fisher matvec (ms)"] = round(
+            bench_matvec_operator(make_batch_ef_matmat, prob), 3
+        )
+    if "kfac" in ops:
+        bench_kfac(prob, results)
+    if "ekfac" in ops:
+        bench_ekfac(prob, results)
+
+    peak = _device_peak_memory_gib()
+    if peak is not None:
+        results["peak device memory (GiB)"] = round(peak, 3)
+
+    out_dir = Path(__file__).parent / "results"
+    out_dir.mkdir(exist_ok=True)
+    out_file = out_dir / f"{prob.name}.json"
+    out_file.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

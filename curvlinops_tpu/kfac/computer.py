@@ -28,6 +28,10 @@ from curvlinops_tpu.curvature.loss_hessian import (
 )
 from curvlinops_tpu.kfac import math as kmath
 from curvlinops_tpu.kfac.collector import LayerUse, TracedModel
+from curvlinops_tpu.kfac.pallas_kernels import (
+    conv_input_covariance as pallas_conv_input_covariance,
+    pallas_conv_cov_supported,
+)
 from curvlinops_tpu.losses import CrossEntropyLoss, SUPPORTED_LOSSES
 from curvlinops_tpu.risk import _num_loss_terms_in_batch, default_batch_size
 from curvlinops_tpu.utils.flatten import tree_add
@@ -137,6 +141,7 @@ class KFACComputer:
         check_deterministic: bool = True,
         mesh=None,
         data_axis: str = "data",
+        use_pallas: str | bool = "auto",
     ):
         if not isinstance(loss_fn, SUPPORTED_LOSSES):
             raise ValueError(
@@ -155,6 +160,11 @@ class KFACComputer:
         self.separate_weight_and_bias = separate_weight_and_bias
         self.seed = seed
         self.mesh, self.data_axis = mesh, data_axis
+        if use_pallas == "auto":
+            # fused Pallas patch-covariance only pays off on real TPU cores
+            use_pallas = jax.default_backend() == "tpu" and mesh is None
+        self.use_pallas = bool(use_pallas)
+        self._pallas_interpret = jax.default_backend() != "tpu"
         self.batch_size_fn = batch_size_fn or default_batch_size
         self._kernel_cache: dict = {}
         self._traced_cache: dict = {}
@@ -216,6 +226,7 @@ class KFACComputer:
         kfac_approx = self.kfac_approx
         groups = self.groups
         n_data = self.num_data
+        use_pallas, pallas_interpret = self.use_pallas, self._pallas_interpret
         grad_output_fn = make_grad_output_fn(loss_fn, fisher_type, mc_samples)
         use_index = {id(u): i for i, u in enumerate(traced.layers)}
 
@@ -232,22 +243,34 @@ class KFACComputer:
             for gi, group in enumerate(groups):
                 if group.weight_path is None:
                     continue  # bias-only: no input covariance
-                parts = [
-                    kmath.input_to_sharing_format(
-                        ios[use_index[id(u)]],
-                        u.kind,
-                        u.meta,
-                        kfac_approx,
-                        bias_pad=(
-                            None
-                            if not group.joint
-                            else (1.0 if u.bias_path is not None else 0.0)
-                        ),
+                cov, S_total = None, 0
+                for u in group.uses:
+                    bias_pad = (
+                        None
+                        if not group.joint
+                        else (1.0 if u.bias_path is not None else 0.0)
                     )
-                    for u in group.uses
-                ]
-                a = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-                aaT[gi] = kmath.input_covariance(a, n_data)
+                    x_u = ios[use_index[id(u)]]
+                    if (
+                        use_pallas
+                        and u.kind == "conv"
+                        and kfac_approx == KFACType.EXPAND
+                        and pallas_conv_cov_supported(x_u.shape, u.meta, bias_pad)
+                    ):
+                        # fused patch-extraction + covariance; the patch
+                        # tensor never hits HBM
+                        cov_u, S_u = pallas_conv_input_covariance(
+                            x_u, u.meta, bias_pad, interpret=pallas_interpret
+                        )
+                    else:
+                        a = kmath.input_to_sharing_format(
+                            x_u, u.kind, u.meta, kfac_approx, bias_pad=bias_pad
+                        )
+                        cov_u = jnp.einsum("bsi,bsj->ij", a, a)
+                        S_u = a.shape[1]
+                    cov = cov_u if cov is None else cov + cov_u
+                    S_total += S_u
+                aaT[gi] = cov / (n_data * S_total)
 
             ggT = {}
             if fisher_type == FisherType.FORWARD_ONLY:

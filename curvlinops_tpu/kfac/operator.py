@@ -129,7 +129,16 @@ class KFACLinearOperator(ChainLinearOperator):
         check_deterministic: bool = True,
         mesh=None,
         data_axis: str = "data",
+        backend: str = "jaxpr",
+        use_pallas: str | bool = "auto",
     ):
+        if backend not in ("jaxpr",):
+            raise ValueError(
+                f"Invalid backend {backend!r}. The reference's 'hooks' and "
+                "'make_fx' backends collapse into the single 'jaxpr' backend "
+                "here (module hooks do not exist for functional models, and "
+                "the jaxpr collector is weight-tying-safe)."
+            )
         computer = KFACComputer(
             model_fn,
             loss_fn,
@@ -146,6 +155,7 @@ class KFACLinearOperator(ChainLinearOperator):
             check_deterministic=check_deterministic,
             mesh=mesh,
             data_axis=data_axis,
+            use_pallas=use_pallas,
         )
         aaT, ggT, groups = computer.compute()
         self._build_from_factors(params, groups, aaT, ggT)

@@ -394,3 +394,46 @@ def test_kfac_forward_only():
     for gi, group in enumerate(kfac.groups):
         ggT = kfac._ggT[gi]
         report_nonclose(ggT, np.eye(group.d_out), name=f"identity ggT {gi}")
+
+
+def test_kfac_pallas_conv_covariance_matches_xla():
+    """The fused Pallas patch-covariance path equals the XLA patches path."""
+    case = make_case("cnn_ce")
+    kw = dict(fisher_type=FisherType.TYPE2, check_deterministic=False)
+    ref = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        use_pallas=False, **kw,
+    )
+    pallas = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        use_pallas=True, **kw,  # interpret mode on CPU
+    )
+    for gi in ref._aaT:
+        report_nonclose(
+            pallas._aaT[gi], ref._aaT[gi], rtol=1e-4, atol=1e-5,
+            name=f"pallas aaT {gi}",
+        )
+    v = np.random.default_rng(7).standard_normal(ref.shape[0]).astype(np.float32)
+    report_nonclose(pallas @ v, ref @ v, rtol=1e-4, atol=1e-5, name="pallas matvec")
+
+
+def test_kfac_pallas_joint_bias_column():
+    case = make_case("cnn_ce")
+    kw = dict(
+        fisher_type=FisherType.TYPE2,
+        separate_weight_and_bias=False,
+        check_deterministic=False,
+    )
+    ref = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        use_pallas=False, **kw,
+    )
+    pallas = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        use_pallas=True, **kw,
+    )
+    for gi in ref._aaT:
+        report_nonclose(
+            pallas._aaT[gi], ref._aaT[gi], rtol=1e-4, atol=1e-5,
+            name=f"pallas joint aaT {gi}",
+        )

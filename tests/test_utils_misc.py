@@ -1,0 +1,72 @@
+"""Library utils: doctests of worked examples, adapters, helpers."""
+
+import doctest
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curvlinops_tpu.utils.misc import allclose_report, make_functional_call, split_list
+
+
+def test_doctests_hessian():
+    """The library's worked examples must run (reference runs doctests in CI)."""
+    import curvlinops_tpu.curvature.hessian as mod
+
+    results = doctest.testmod(mod, verbose=False)
+    assert results.failed == 0, f"{results.failed} doctest failures in hessian"
+
+
+def test_allclose_report(capsys):
+    assert allclose_report(np.ones(3), np.ones(3))
+    assert not allclose_report(np.ones(3), np.asarray([1.0, 2.0, 1.0]))
+    out = capsys.readouterr().out
+    assert "mismatch at (1,)" in out
+
+
+def test_split_list():
+    assert split_list([1, 2, 3, 4, 5], [2, 3]) == [[1, 2], [3, 4, 5]]
+    with pytest.raises(ValueError):
+        split_list([1, 2], [3])
+
+
+def test_make_functional_call_flax():
+    flax = pytest.importorskip("flax")
+    import flax.linen as nn
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3)(nn.tanh(nn.Dense(5)(x)))
+
+    net = Net()
+    x = jnp.ones((4, 2))
+    variables = net.init(jax.random.key(0), x)
+    model_fn = make_functional_call(net)
+    out = model_fn(variables["params"], x)
+    assert out.shape == (4, 3)
+
+    # the adapted flax model works with curvature operators AND the KFAC
+    # collector discovers its Dense layers on the unmodified module
+    from curvlinops_tpu import GGNLinearOperator, MSELoss
+    from curvlinops_tpu.kfac.collector import TracedModel
+
+    y = jnp.zeros((4, 3))
+    G = GGNLinearOperator(
+        model_fn, MSELoss("mean"), variables["params"], [(x, y)],
+        check_deterministic=False,
+    )
+    v = np.random.default_rng(0).standard_normal(G.shape[0]).astype(np.float32)
+    assert np.isfinite(G @ v).all()
+
+    tm = TracedModel(model_fn, variables["params"], x)
+    assert len(tm.layers) == 2
+    assert all(u.bias_path is not None for u in tm.layers)
+
+
+def test_make_functional_call_passthrough_and_error():
+    fn = lambda p, x: x  # noqa: E731
+    assert make_functional_call(fn) is fn
+    with pytest.raises(ValueError):
+        make_functional_call(42)
