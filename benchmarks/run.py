@@ -44,7 +44,7 @@ def _device_peak_memory_gib() -> float | None:
         return None
 
 
-def _timed_chain(kernel_apply, init, *args) -> tuple[float, object]:
+def _timed_chain(kernel_apply, init, *args, jit: bool = True) -> tuple[float, object]:
     """Per-application device time of a data-dependent dispatch chain.
 
     Each call consumes the previous output (no device-side overlap possible).
@@ -53,7 +53,7 @@ def _timed_chain(kernel_apply, init, *args) -> tuple[float, object]:
     overhead (dispatch latency, tunnel round trips, readback) and cannot be
     fooled by runtimes whose ``block_until_ready`` returns early.
     """
-    fn = jax.jit(lambda m, *a: kernel_apply(m, *a))
+    fn = jax.jit(lambda m, *a: kernel_apply(m, *a)) if jit else kernel_apply
     out = fn(init, *args)
     jax.block_until_ready(out)  # compile + warmup
 
@@ -127,7 +127,7 @@ def bench_kfac(prob, results: dict) -> None:
     M = jax.tree.map(
         lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), prob.kfac_params
     )
-    ms, _ = _timed_chain(lambda m: kfac._matmat(m), M)
+    ms, _ = _timed_chain(lambda m: kfac._matmat(m), M, jit=False)
     results["KFAC matvec (ms)"] = round(ms, 3)
 
     # warm up the eigh compiles once, then time the steady-state build
@@ -141,7 +141,7 @@ def bench_kfac(prob, results: dict) -> None:
     results["KFAC exact-damped inverse build (s)"] = round(
         time.perf_counter() - t0, 4
     )
-    ms, _ = _timed_chain(lambda m: inv._matmat(m), M)
+    ms, _ = _timed_chain(lambda m: inv._matmat(m), M, jit=False)
     results["KFAC inverse matvec (ms)"] = round(ms, 3)
 
 
@@ -166,7 +166,7 @@ def bench_ekfac(prob, results: dict) -> None:
     M = jax.tree.map(
         lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), prob.kfac_params
     )
-    ms, _ = _timed_chain(lambda m: ekfac._matmat(m), M)
+    ms, _ = _timed_chain(lambda m: ekfac._matmat(m), M, jit=False)
     results["EKFAC matvec (ms)"] = round(ms, 3)
 
 

@@ -28,7 +28,7 @@ from curvlinops_tpu.losses import (
     SUPPORTED_LOSSES,
 )
 from curvlinops_tpu.risk import CurvatureLinearOperator
-from curvlinops_tpu.utils.flatten import tree_scale
+from curvlinops_tpu.utils.flatten import tree_scale, vmap_columns
 
 
 def flatten_prediction(loss_fn, pred: jax.Array) -> jax.Array:
@@ -52,7 +52,9 @@ def flatten_target(loss_fn, y: jax.Array) -> jax.Array:
     return y.reshape(-1, y.shape[-1])
 
 
-def make_batch_ef_matmat(model_fn: Callable, loss_fn) -> Callable:
+def make_batch_ef_matmat(
+    model_fn: Callable, loss_fn, max_vmap_columns: int | None = None
+) -> Callable:
     """Build the pure per-batch empirical-Fisher matmat kernel."""
     if not isinstance(loss_fn, SUPPORTED_LOSSES):
         raise NotImplementedError(
@@ -94,7 +96,7 @@ def make_batch_ef_matmat(model_fn: Callable, loss_fn) -> Callable:
             tangent = (coeff[:, None] * G) / R
             return vjp_fn(tangent)[0]
 
-        EM = jax.vmap(efvp, in_axes=-1, out_axes=-1)(M)
+        EM = vmap_columns(efvp, M, max_vmap_columns)
         return tree_scale(c, EM)
 
     return batch_matmat
@@ -105,5 +107,7 @@ class EFLinearOperator(CurvatureLinearOperator):
 
     SELF_ADJOINT = True
 
-    def _make_batch_matmat(self) -> Callable:
-        return make_batch_ef_matmat(self._model_fn, self._loss_fn)
+    def _make_batch_matmat_with(self, model_fn) -> Callable:
+        return make_batch_ef_matmat(
+            model_fn, self._loss_fn, self._max_vmap_columns
+        )

@@ -31,10 +31,12 @@ import jax.numpy as jnp
 
 from curvlinops_tpu.curvature.loss_hessian import FisherType, make_grad_output_fn
 from curvlinops_tpu.risk import CurvatureLinearOperator
-from curvlinops_tpu.utils.flatten import tree_scale
+from curvlinops_tpu.utils.flatten import tree_scale, vmap_columns
 
 
-def make_batch_ggn_matmat(model_fn: Callable, loss_fn: Callable) -> Callable:
+def make_batch_ggn_matmat(
+    model_fn: Callable, loss_fn: Callable, max_vmap_columns: int | None = None
+) -> Callable:
     """Build the pure per-batch exact-GGN matmat kernel."""
 
     def batch_matmat(params: Any, X: Any, y: Any, M: Any, c, key) -> Any:
@@ -50,14 +52,17 @@ def make_batch_ggn_matmat(model_fn: Callable, loss_fn: Callable) -> Callable:
             _, vjp_fn = jax.vjp(f, params)
             return vjp_fn(hjv)[0]
 
-        GM = jax.vmap(ggnvp, in_axes=-1, out_axes=-1)(M)
+        GM = vmap_columns(ggnvp, M, max_vmap_columns)
         return tree_scale(c, GM)
 
     return batch_matmat
 
 
 def make_batch_ggn_mc_matmat(
-    model_fn: Callable, loss_fn: Callable, mc_samples: int
+    model_fn: Callable,
+    loss_fn: Callable,
+    mc_samples: int,
+    max_vmap_columns: int | None = None,
 ) -> Callable:
     """Build the per-batch MC-Fisher matmat kernel.
 
@@ -91,7 +96,7 @@ def make_batch_ggn_mc_matmat(
             tangent = jnp.einsum("nk...,nk->n...", G, coeff) / c_batch
             return vjp_fn(tangent.astype(jnp.result_type(jv)))[0]
 
-        GM = jax.vmap(fishervp, in_axes=-1, out_axes=-1)(M)
+        GM = vmap_columns(fishervp, M, max_vmap_columns)
         return tree_scale(c, GM)
 
     return batch_matmat
@@ -118,9 +123,14 @@ class GGNLinearOperator(CurvatureLinearOperator):
             self.USES_RANDOMNESS = True
         super().__init__(model_fn, loss_fn, params, data, **kw)
 
-    def _make_batch_matmat(self) -> Callable:
+    def _make_batch_matmat_with(self, model_fn) -> Callable:
         if self._mc_samples > 0:
             return make_batch_ggn_mc_matmat(
-                self._model_fn, self._loss_fn, self._mc_samples
+                model_fn,
+                self._loss_fn,
+                self._mc_samples,
+                self._max_vmap_columns,
             )
-        return make_batch_ggn_matmat(self._model_fn, self._loss_fn)
+        return make_batch_ggn_matmat(
+            model_fn, self._loss_fn, self._max_vmap_columns
+        )

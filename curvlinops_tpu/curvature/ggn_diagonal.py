@@ -22,6 +22,7 @@ import numpy as np
 from curvlinops_tpu.curvature.loss_hessian import FisherType, make_grad_output_fn
 from curvlinops_tpu.ops.diagonal import DiagonalLinearOperator
 from curvlinops_tpu.risk import default_batch_size
+from curvlinops_tpu.utils.misc import unwrap_model_fn
 from curvlinops_tpu.utils.flatten import tree_add, tree_scale
 
 
@@ -75,7 +76,16 @@ class GGNDiagonalLinearOperator(DiagonalLinearOperator):
         if check_deterministic:
             self._check_vmap_compatible(model_fn, params, data)
 
-        kernel = jax.jit(make_batch_ggn_diagonal(model_fn, loss_fn, mc_samples))
+        frozen, raw = unwrap_model_fn(model_fn)
+
+        def outer(frozen, params, X, y, c, key):
+            inner = make_batch_ggn_diagonal(
+                lambda p, x: raw(frozen, p, x), loss_fn, mc_samples
+            )
+            return inner(params, X, y, c, key)
+
+        jitted = jax.jit(outer)
+        kernel = lambda *args: jitted(frozen, *args)  # noqa: E731
         base_key = jax.random.key(seed)
         diag = None
         for idx, (X, y) in enumerate(data):

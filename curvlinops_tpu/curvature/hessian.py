@@ -34,11 +34,11 @@ from typing import Any, Callable
 import jax
 
 from curvlinops_tpu.risk import CurvatureLinearOperator
-from curvlinops_tpu.utils.flatten import tree_scale
+from curvlinops_tpu.utils.flatten import tree_scale, vmap_columns
 
 
 def make_batch_hessian_matmat(
-    model_fn: Callable, loss_fn: Callable
+    model_fn: Callable, loss_fn: Callable, max_vmap_columns: int | None = None
 ) -> Callable:
     """Build the pure per-batch Hessian matmat kernel.
 
@@ -58,7 +58,7 @@ def make_batch_hessian_matmat(
         def hvp(v: Any) -> Any:
             return jax.jvp(grad_fn, (params,), (v,))[1]
 
-        HM = jax.vmap(hvp, in_axes=-1, out_axes=-1)(M)
+        HM = vmap_columns(hvp, M, max_vmap_columns)
         return tree_scale(c, HM)
 
     return batch_matmat
@@ -69,5 +69,7 @@ class HessianLinearOperator(CurvatureLinearOperator):
 
     SELF_ADJOINT = True
 
-    def _make_batch_matmat(self) -> Callable:
-        return make_batch_hessian_matmat(self._model_fn, self._loss_fn)
+    def _make_batch_matmat_with(self, model_fn) -> Callable:
+        return make_batch_hessian_matmat(
+            model_fn, self._loss_fn, self._max_vmap_columns
+        )

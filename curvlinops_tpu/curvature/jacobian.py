@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from curvlinops_tpu.risk import EmpiricalRiskOperator
 from curvlinops_tpu.utils.flatten import tree_add, tree_scale
+from curvlinops_tpu.utils.misc import unwrap_model_fn
 
 
 def _prediction_spec(model_fn, params, data, num_data) -> jax.ShapeDtypeStruct:
@@ -47,21 +48,23 @@ class JacobianLinearOperator(EmpiricalRiskOperator):
             model_fn, None, params, data, num_data=num_data, out_spec=out_spec, **kw
         )
 
-    def _make_batch_matmat(self) -> Callable:
-        model_fn = self._model_fn
-
-        def batch_matmat(params, X, M):
-            def jvp_one(v):
-                return jax.jvp(lambda p: model_fn(p, X), (params,), (v,))[1]
-
-            return jax.vmap(jvp_one, in_axes=-1, out_axes=-1)(M)
-
-        return batch_matmat
-
     def _matmat(self, M: Any) -> Any:
-        fn = self._batch_fn_cache.setdefault(
-            "matmat", jax.jit(self._make_batch_matmat())
-        )
+        if "matmat" not in self._batch_fn_cache:
+            frozen, raw = unwrap_model_fn(self._model_fn)
+
+            @jax.jit
+            def batch_matmat(frozen, params, X, M):
+                def jvp_one(v):
+                    return jax.jvp(
+                        lambda p: raw(frozen, p, X), (params,), (v,)
+                    )[1]
+
+                return jax.vmap(jvp_one, in_axes=-1, out_axes=-1)(M)
+
+            self._batch_fn_cache["matmat"] = (
+                lambda *args: batch_matmat(frozen, *args)
+            )
+        fn = self._batch_fn_cache["matmat"]
         params = self._replicate(self._params)
         blocks = [
             fn(params, X, M) for X, _ in self._loop_over_data(desc="jacobian")
@@ -105,24 +108,24 @@ class TransposedJacobianLinearOperator(EmpiricalRiskOperator):
             **kw,
         )
 
-    def _make_batch_matmat(self) -> Callable:
-        model_fn = self._model_fn
-
-        def batch_matmat(params, X, W):
-            """Pull back rows ``W`` ([B, *out, K]) through the batch Jacobian."""
-            _, vjp_fn = jax.vjp(lambda p: model_fn(p, X), params)
-
-            def vjp_one(w):
-                return vjp_fn(w)[0]
-
-            return jax.vmap(vjp_one, in_axes=-1, out_axes=-1)(W)
-
-        return batch_matmat
-
     def _matmat(self, M: Any) -> Any:
-        fn = self._batch_fn_cache.setdefault(
-            "matmat", jax.jit(self._make_batch_matmat())
-        )
+        if "matmat" not in self._batch_fn_cache:
+            frozen, raw = unwrap_model_fn(self._model_fn)
+
+            @jax.jit
+            def batch_matmat(frozen, params, X, W):
+                # pull back rows W ([B, *out, K]) through the batch Jacobian
+                _, vjp_fn = jax.vjp(lambda p: raw(frozen, p, X), params)
+
+                def vjp_one(w):
+                    return vjp_fn(w)[0]
+
+                return jax.vmap(vjp_one, in_axes=-1, out_axes=-1)(W)
+
+            self._batch_fn_cache["matmat"] = (
+                lambda *args: batch_matmat(frozen, *args)
+            )
+        fn = self._batch_fn_cache["matmat"]
         params = self._replicate(self._params)
         out, offset = None, 0
         for X, _ in self._loop_over_data(desc="jacobian_t"):

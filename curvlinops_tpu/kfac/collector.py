@@ -41,6 +41,8 @@ import jax.extend.core as jex_core
 import jax.numpy as jnp
 from jax import tree_util
 
+from curvlinops_tpu.utils.misc import unwrap_model_fn
+
 # primitives that preserve "this value is (a view of) parameter leaf i"
 _TRANSPARENT = {
     "reshape",
@@ -222,13 +224,20 @@ class TracedModel:
 
     def __init__(self, model_fn: Callable, params: Any, X_example: Any):
         self._model_fn = model_fn
-        closed = jax.make_jaxpr(model_fn)(params, X_example)
+        # frozen (non-differentiated) model constants are traced as leading
+        # inputs, NOT captured constants — keeps them out of the kernel HLOs
+        frozen, raw = unwrap_model_fn(model_fn)
+        self._frozen = frozen
+        self._raw = raw
+        closed = jax.make_jaxpr(raw)(frozen, params, X_example)
+        n_frozen = len(tree_util.tree_leaves(frozen))
 
         param_leaves_with_paths, params_def = tree_util.tree_flatten_with_path(params)
         self.param_paths = [p for p, _ in param_leaves_with_paths]
         param_shapes = [jnp.shape(leaf) for _, leaf in param_leaves_with_paths]
         n_params = len(self.param_paths)
         self._params_def = params_def
+        self._n_frozen = n_frozen
 
         x_leaves = tree_util.tree_leaves(X_example)
         self._n_x_leaves = len(x_leaves)
@@ -236,12 +245,12 @@ class TracedModel:
         ir = _FlatIR(closed)
         self._ir = ir
         self._out_tree = tree_util.tree_structure(
-            jax.eval_shape(model_fn, params, X_example)
+            jax.eval_shape(raw, frozen, params, X_example)
         )
 
         # provenance: var key -> param leaf id (through transparent ops only)
         derived: dict[Any, int] = {}
-        for i, key in enumerate(ir.invar_keys[:n_params]):
+        for i, key in enumerate(ir.invar_keys[n_frozen : n_frozen + n_params]):
             derived[key] = i
 
         # first pass: propagate transparent views & collect matches
@@ -401,17 +410,24 @@ class TracedModel:
         return ir_shapes
 
     def apply_with_io(
-        self, params: Any, deltas: list[jax.Array], X: Any
+        self, params: Any, deltas: list[jax.Array], X: Any, frozen: Any = None
     ) -> tuple[Any, list[jax.Array]]:
         """Run the model; return ``(prediction, layer_inputs)``.
 
         ``deltas[i]`` is added to layer ``i``'s pre-bias output, so
         differentiating w.r.t. ``deltas`` yields the layer-output gradients.
+        ``frozen`` defaults to the pytree captured at trace time; kernels
+        should pass it explicitly so it enters their jit as an argument.
         """
         ir = self._ir
         env: dict = ir.const_env
+        frozen = self._frozen if frozen is None else frozen
 
-        args_flat = tree_util.tree_leaves(params) + tree_util.tree_leaves(X)
+        args_flat = (
+            tree_util.tree_leaves(frozen)
+            + tree_util.tree_leaves(params)
+            + tree_util.tree_leaves(X)
+        )
         if len(args_flat) != len(ir.invar_keys):
             raise ValueError(
                 f"Expected {len(ir.invar_keys)} flat inputs, got {len(args_flat)}."

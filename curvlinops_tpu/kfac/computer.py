@@ -34,6 +34,7 @@ from curvlinops_tpu.kfac.pallas_kernels import (
 )
 from curvlinops_tpu.losses import CrossEntropyLoss, SUPPORTED_LOSSES
 from curvlinops_tpu.risk import _num_loss_terms_in_batch, default_batch_size
+from curvlinops_tpu.utils.misc import unwrap_model_fn
 from curvlinops_tpu.utils.flatten import tree_add
 
 
@@ -154,6 +155,7 @@ class KFACComputer:
                 f"mc_samples={mc_samples} requires fisher_type=FisherType.MC."
             )
         self.model_fn, self.loss_fn, self.params = model_fn, loss_fn, params
+        self.frozen, self._raw_model_fn = unwrap_model_fn(model_fn)
         self.data = data
         self.fisher_type, self.mc_samples = fisher_type, mc_samples
         self.kfac_approx = kfac_approx
@@ -230,13 +232,13 @@ class KFACComputer:
         grad_output_fn = make_grad_output_fn(loss_fn, fisher_type, mc_samples)
         use_index = {id(u): i for i, u in enumerate(traced.layers)}
 
-        def batch_kernel(params, X, y, key, correction):
+        def batch_kernel(frozen, params, X, y, key, correction):
             delta0 = [
                 jnp.zeros(s.shape, s.dtype)
                 for s in traced.delta_specs(params, X)
             ]
             (pred, ios), pull = jax.vjp(
-                lambda d: traced.apply_with_io(params, d, X), delta0
+                lambda d: traced.apply_with_io(params, d, X, frozen), delta0
             )
 
             aaT = {}
@@ -310,7 +312,9 @@ class KFACComputer:
         )
         if shape_key not in self._kernel_cache:
             traced = self._get_traced(X)
-            self._kernel_cache[shape_key] = jax.jit(self._make_batch_kernel(traced))
+            jitted = jax.jit(self._make_batch_kernel(traced))
+            frozen = self.frozen
+            self._kernel_cache[shape_key] = lambda *args: jitted(frozen, *args)
         return self._kernel_cache[shape_key]
 
     # ------------------------------------------------------------------ #
@@ -374,16 +378,18 @@ class KFACComputer:
         Raises:
             RuntimeError: If the two passes disagree.
         """
-        model_fn, loss_fn = self.model_fn, self.loss_fn
+        raw, frozen, loss_fn = self._raw_model_fn, self.frozen, self.loss_fn
 
         @jax.jit
-        def batch_loss_grad(params, X, y):
-            return jax.value_and_grad(lambda p: loss_fn(model_fn(p, X), y))(params)
+        def batch_loss_grad(frozen, params, X, y):
+            return jax.value_and_grad(
+                lambda p: loss_fn(raw(frozen, p, X), y)
+            )(params)
 
         def one_pass():
             tl, tg = None, None
             for X, y in self.data:
-                loss, grad = batch_loss_grad(self.params, X, y)
+                loss, grad = batch_loss_grad(frozen, self.params, X, y)
                 tl = loss if tl is None else tl + loss
                 tg = grad if tg is None else tree_add(tg, grad)
             return tl, tg

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from curvlinops_tpu.curvature.ef import flatten_prediction, flatten_target
 from curvlinops_tpu.curvature.loss_hessian import FisherType, make_grad_output_fn
 from curvlinops_tpu.kfac import math as kmath
+from curvlinops_tpu.kfac.chain import KroneckerChainOperator
 from curvlinops_tpu.kfac.computer import KFACComputer
 from curvlinops_tpu.kfac.operator import KFACLinearOperator, make_to_canonical
 from curvlinops_tpu.ops.base import ChainLinearOperator, PytreeLinearOperator
@@ -90,8 +91,10 @@ class EKFACComputer(KFACComputer):
         )
         if shape_key not in self._corr_kernel_cache:
             traced = self._get_traced(X)
-            self._corr_kernel_cache[shape_key] = jax.jit(
-                self._make_corr_kernel(traced)
+            jitted = jax.jit(self._make_corr_kernel(traced))
+            frozen = self.frozen
+            self._corr_kernel_cache[shape_key] = (
+                lambda *args: jitted(frozen, *args)
             )
         return self._corr_kernel_cache[shape_key]
 
@@ -104,12 +107,12 @@ class EKFACComputer(KFACComputer):
         )
         use_index = {id(u): i for i, u in enumerate(traced.layers)}
 
-        def corr_kernel(params, X, y, key, correction, Q_a, Q_g):
+        def corr_kernel(frozen, params, X, y, key, correction, Q_a, Q_g):
             delta0 = [
                 jnp.zeros(s.shape, s.dtype) for s in traced.delta_specs(params, X)
             ]
             (pred, ios), pull = jax.vjp(
-                lambda d: traced.apply_with_io(params, d, X), delta0
+                lambda d: traced.apply_with_io(params, d, X, frozen), delta0
             )
             rows = flatten_prediction(loss_fn, jax.lax.stop_gradient(pred))
             y_rows = flatten_target(loss_fn, y)
@@ -182,41 +185,39 @@ class EKFACLinearOperator(KFACLinearOperator):
             model_fn, loss_fn, params, data, force_strategy=force_strategy, **kwargs
         )
         Q_a, Q_g, lambdas, groups = computer.compute_ekfac()
-
-        blocks = []
-        for gi, group in enumerate(groups):
-            lam = lambdas[gi].reshape(-1)
-            if gi in Q_a:
-                Q = KroneckerProductLinearOperator(Q_g[gi], Q_a[gi])
-            else:
-                Q = KroneckerProductLinearOperator(Q_g[gi])
-            blocks.append(EighDecomposedLinearOperator(lam, Q))
-        K = BlockDiagonalLinearOperator(blocks)
-
-        to_canonical, from_canonical = make_to_canonical(groups, params)
-        param_spec = spec_of(params)
-        canonical_spec = jax.eval_shape(to_canonical, param_spec)
-        PT = PytreeLinearOperator(to_canonical, param_spec, canonical_spec)
-        P = PT.adjoint()
-        ChainLinearOperator.__init__(self, [P, K, PT])
-        self.SELF_ADJOINT = True
-
         self._params, self._groups = params, groups
         self._Q_a, self._Q_g, self._lambdas = Q_a, Q_g, lambdas
-        self._to_canonical, self._from_canonical = to_canonical, from_canonical
+        self._rebuild_chain()
         self._computer = computer
+
+    def _rebuild_chain(self) -> None:
+        blocks_data = {}
+        for gi, group in enumerate(self._groups):
+            Qs = (
+                [self._Q_g[gi], self._Q_a[gi]]
+                if gi in self._Q_a
+                else [self._Q_g[gi]]
+            )
+            blocks_data[gi] = ("eigh", (self._lambdas[gi].reshape(-1), Qs))
+        to_canonical, from_canonical = make_to_canonical(self._groups, self._params)
+        KroneckerChainOperator.__init__(
+            self, self._params, blocks_data, to_canonical, from_canonical
+        )
 
     @property
     def corrected_eigenvalues(self) -> dict:
         """Per-group corrected eigenvalues."""
         return self._lambdas
 
-    def inverse(self, damping: float = 0.0) -> ChainLinearOperator:
+    def inverse(self, damping: float = 0.0) -> KroneckerChainOperator:
         """Damped inverse ``1/(lambda+delta)`` in the Kronecker eigenbasis."""
-        K_inv = BlockDiagonalLinearOperator(
-            [b.inverse(damping=damping) for b in self.canonical.blocks]
+        blocks_data = {}
+        for gi in sorted(self._blocks_data):
+            lam, Qs = self._blocks_data[gi][1]
+            blocks_data[gi] = ("eigh", (1.0 / (lam + damping), Qs))
+        return KroneckerChainOperator(
+            self._params, blocks_data, self._to_canonical, self._from_canonical
         )
-        return ChainLinearOperator([self.ops[0], K_inv, self.ops[2]])
 
     def state_dict(self) -> dict:  # noqa: D102
         return {
@@ -231,12 +232,4 @@ class EKFACLinearOperator(KFACLinearOperator):
         self._lambdas = {
             int(k): jnp.asarray(v) for k, v in state["lambdas"].items()
         }
-        blocks = []
-        for gi, group in enumerate(self._groups):
-            lam = self._lambdas[gi].reshape(-1)
-            if gi in self._Q_a:
-                Q = KroneckerProductLinearOperator(self._Q_g[gi], self._Q_a[gi])
-            else:
-                Q = KroneckerProductLinearOperator(self._Q_g[gi])
-            blocks.append(EighDecomposedLinearOperator(lam, Q))
-        self.ops[1] = BlockDiagonalLinearOperator(blocks)
+        self._rebuild_chain()

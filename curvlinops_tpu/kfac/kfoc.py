@@ -119,12 +119,12 @@ class KFOCComputer(KFACComputer):
         )
 
         @jax.jit
-        def kernel(params, X, y, key, corr):
+        def kernel(frozen, params, X, y, key, corr):
             delta0 = [
                 jnp.zeros(s.shape, s.dtype) for s in traced.delta_specs(params, X)
             ]
             (pred, ios), pull = jax.vjp(
-                lambda d: traced.apply_with_io(params, d, X), delta0
+                lambda d: traced.apply_with_io(params, d, X, frozen), delta0
             )
             rows = flatten_prediction(loss_fn, jax.lax.stop_gradient(pred))
             y_rows = flatten_target(loss_fn, y)
@@ -180,7 +180,12 @@ class KFOCComputer(KFACComputer):
             return first, second
 
         first, second = kernel(
-            self.params, X, y, jax.random.key(self.seed), jnp.float32(correction)
+            self.frozen,
+            self.params,
+            X,
+            y,
+            jax.random.key(self.seed),
+            jnp.float32(correction),
         )
         return second, first, groups
 

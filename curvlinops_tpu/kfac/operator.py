@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from curvlinops_tpu.curvature.loss_hessian import FisherType, KFACType
 from curvlinops_tpu.kfac import math as kmath
+from curvlinops_tpu.kfac.chain import KroneckerChainOperator
 from curvlinops_tpu.kfac.computer import KFACComputer, ParamGroup
 from curvlinops_tpu.ops.base import ChainLinearOperator, PytreeLinearOperator
 from curvlinops_tpu.ops.blockdiag import BlockDiagonalLinearOperator
@@ -96,7 +97,7 @@ def make_to_canonical(
     return to_canonical, from_canonical
 
 
-class KFACLinearOperator(ChainLinearOperator):
+class KFACLinearOperator(KroneckerChainOperator):
     r"""Kronecker-factored approximate curvature of the Fisher/GGN.
 
     ``KFAC = FromCanonical @ blockdiag(ggT_i (x) aaT_i) @ ToCanonical``
@@ -163,26 +164,20 @@ class KFACLinearOperator(ChainLinearOperator):
 
     # ------------------------------------------------------------------ #
     def _build_from_factors(self, params, groups, aaT, ggT) -> None:
-        blocks = []
+        blocks_data = {}
         for gi, group in enumerate(groups):
             factors = [ggT[gi]]
             if gi in aaT:
                 factors.append(aaT[gi])
-            blocks.append(KroneckerProductLinearOperator(*factors))
-        K = BlockDiagonalLinearOperator(blocks)
+            blocks_data[gi] = ("kron", factors)
 
         to_canonical, from_canonical = make_to_canonical(groups, params)
-        param_spec = spec_of(params)
-        canonical_spec = jax.eval_shape(to_canonical, param_spec)
-
-        PT = PytreeLinearOperator(to_canonical, param_spec, canonical_spec)
-        P = PT.adjoint()  # orthonormal permutation: adjoint == inverse
-
-        super().__init__([P, K, PT])
+        KroneckerChainOperator.__init__(
+            self, params, blocks_data, to_canonical, from_canonical
+        )
         self._params = params
         self._groups = groups
         self._aaT, self._ggT = aaT, ggT
-        self._to_canonical, self._from_canonical = to_canonical, from_canonical
 
     @property
     def groups(self) -> list[ParamGroup]:
@@ -218,16 +213,32 @@ class KFACLinearOperator(ChainLinearOperator):
         min_damping: float = 1e-8,
         use_exact_damping: bool = False,
         retry_double_precision: bool = True,
-    ) -> ChainLinearOperator:
-        """Damped inverse: invert each block, rebuild the chain (kfac.py:311-350)."""
-        K_inv = self.canonical.inverse(
-            damping=damping,
-            use_heuristic_damping=use_heuristic_damping,
-            min_damping=min_damping,
-            use_exact_damping=use_exact_damping,
-            retry_double_precision=retry_double_precision,
+    ) -> "KroneckerChainOperator":
+        """Damped inverse: invert each block, rebuild the chain (kfac.py:311-350).
+
+        The result is again a single-dispatch jitted chain; plain/heuristic
+        damping inverts the Kronecker factors (Cholesky, fp64 retry), exact
+        damping eigendecomposes them and inverts ``kron(eigvals) + delta``.
+        """
+        import jax.numpy as jnp
+
+        blocks_data = {}
+        for gi, block in zip(sorted(self._blocks_data), self.canonical.blocks):
+            inv = block.inverse(
+                damping=damping,
+                use_heuristic_damping=use_heuristic_damping,
+                min_damping=min_damping,
+                use_exact_damping=use_exact_damping,
+                retry_double_precision=retry_double_precision,
+            )
+            if use_exact_damping:
+                # EighDecomposed(1/(lam+delta), Kron(Q...))
+                blocks_data[gi] = ("eigh", (inv.eigenvalues, inv.Q.factors))
+            else:
+                blocks_data[gi] = ("kron", inv.factors)
+        return KroneckerChainOperator(
+            self._params, blocks_data, self._to_canonical, self._from_canonical
         )
-        return ChainLinearOperator([self.ops[0], K_inv, self.ops[2]])
 
     # ---- checkpointing (torch.save/load parity, test_kfac.py:1083) ------- #
     def state_dict(self) -> dict:

@@ -182,8 +182,13 @@ def kfac_restricted(apply_fn, params):
     Returns:
         ``(kfac_model_fn, kfac_params)`` — leaves under ``conv*``/``fc``/
         ``dense*`` keys with all dims <= 50k; the rest (BatchNorm affines,
-        embeddings, huge heads) are closed over as constants.
+        embeddings, huge heads) travel as a
+        :class:`curvlinops_tpu.utils.misc.FrozenModelFn` frozen pytree, so
+        they enter jitted kernels as runtime arguments instead of HLO
+        constants.
     """
+    from curvlinops_tpu.utils.misc import FrozenModelFn
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
 
     def is_kfac(path, leaf):
@@ -198,21 +203,20 @@ def kfac_restricted(apply_fn, params):
     kfac_flat = {
         jax.tree_util.keystr(p): leaf for p, leaf in flat if is_kfac(p, leaf)
     }
-    frozen_flat = [(p, leaf) for p, leaf in flat if not is_kfac(p, leaf)]
+    frozen_flat = {
+        jax.tree_util.keystr(p): leaf for p, leaf in flat if not is_kfac(p, leaf)
+    }
 
-    def merge(kfac_params):
-        merged = dict(
-            [(p, kfac_params[jax.tree_util.keystr(p)]) for p, _ in flat
-             if jax.tree_util.keystr(p) in kfac_params]
-            + frozen_flat
-        )
-        leaves = [merged[p] for p, _ in flat]
-        return jax.tree_util.tree_unflatten(treedef, leaves)
+    def raw_fn(frozen, kfac_params, x):
+        leaves = [
+            kfac_params[jax.tree_util.keystr(p)]
+            if jax.tree_util.keystr(p) in kfac_params
+            else frozen[jax.tree_util.keystr(p)]
+            for p, _ in flat
+        ]
+        return apply_fn(jax.tree_util.tree_unflatten(treedef, leaves), x)
 
-    def kfac_model_fn(kfac_params, x):
-        return apply_fn(merge(kfac_params), x)
-
-    return kfac_model_fn, kfac_flat
+    return FrozenModelFn(raw_fn, frozen_flat), kfac_flat
 
 
 def cifar10_resnet18(batch_size: int = 512, seed: int = 0, dtype=jnp.float32) -> Problem:

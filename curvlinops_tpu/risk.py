@@ -27,6 +27,7 @@ import numpy as np
 
 from curvlinops_tpu.losses import CrossEntropyLoss, Loss
 from curvlinops_tpu.ops.base import LinearOperator
+from curvlinops_tpu.utils.misc import unwrap_model_fn
 from curvlinops_tpu.utils.flatten import (
     spec_of,
     tree_add,
@@ -97,6 +98,7 @@ class EmpiricalRiskOperator(LinearOperator):
         mesh=None,
         data_axis: str = "data",
         progressbar: bool = False,
+        max_vmap_columns: int | None = None,
         in_spec: Any = None,
         out_spec: Any = None,
     ):
@@ -116,6 +118,8 @@ class EmpiricalRiskOperator(LinearOperator):
         self._mesh = mesh
         self._data_axis = data_axis
         self._progressbar = progressbar
+        # bound on columns vmapped simultaneously (memory knob, SURVEY #5)
+        self._max_vmap_columns = max_vmap_columns
         self._batch_fn_cache: dict[str, Callable] = {}
 
         param_spec = spec_of(params)
@@ -225,15 +229,34 @@ class EmpiricalRiskOperator(LinearOperator):
     def _make_batch_matmat(self) -> Callable:
         """Return the pure per-batch kernel ``(params, X, y, M, c, key) -> c * A_b M``.
 
-        Must be implemented by concrete curvature operators. ``M`` is a pytree
-        of the input space with a trailing column axis on every leaf.
+        Built from ``self._model_fn``; concrete operators implement
+        :meth:`_make_batch_matmat_with` instead so frozen model constants can
+        be injected as traced arguments. ``M`` is a pytree of the input space
+        with a trailing column axis on every leaf.
         """
+        return self._make_batch_matmat_with(self._model_fn)
+
+    def _make_batch_matmat_with(self, model_fn: Callable) -> Callable:
+        """Build the per-batch kernel for an explicit ``model_fn``."""
         raise NotImplementedError
 
     def _batch_matmat_jitted(self) -> Callable:
-        """Jitted per-batch kernel (cached; retraces only per batch shape)."""
+        """Jitted per-batch kernel (cached; retraces only per batch shape).
+
+        Frozen model constants (see ``utils.misc.FrozenModelFn``) enter the
+        jitted program as arguments, not embedded HLO constants.
+        """
         if "matmat" not in self._batch_fn_cache:
-            self._batch_fn_cache["matmat"] = jax.jit(self._make_batch_matmat())
+            frozen, raw = unwrap_model_fn(self._model_fn)
+
+            def outer(frozen, params, X, y, M, c, key):
+                kernel = self._make_batch_matmat_with(
+                    lambda p, x: raw(frozen, p, x)
+                )
+                return kernel(params, X, y, M, c, key)
+
+            jitted = jax.jit(outer)
+            self._batch_fn_cache["matmat"] = lambda *args: jitted(frozen, *args)
         return self._batch_fn_cache["matmat"]
 
     def _matmat(self, M: Any) -> Any:
@@ -269,16 +292,19 @@ class EmpiricalRiskOperator(LinearOperator):
             raise ValueError("No loss function specified.")
 
         if "grad_loss" not in self._batch_fn_cache:
-            model_fn, loss_fn = self._model_fn, self._loss_fn
+            frozen, raw = unwrap_model_fn(self._model_fn)
+            loss_fn = self._loss_fn
 
             @jax.jit
-            def batch_grad_loss(params, X, y, c):
+            def batch_grad_loss(frozen, params, X, y, c):
                 def objective(p):
-                    return c * loss_fn(model_fn(p, X), y)
+                    return c * loss_fn(raw(frozen, p, X), y)
 
                 return jax.value_and_grad(objective)(params)
 
-            self._batch_fn_cache["grad_loss"] = batch_grad_loss
+            self._batch_fn_cache["grad_loss"] = (
+                lambda *args: batch_grad_loss(frozen, *args)
+            )
 
         fn = self._batch_fn_cache["grad_loss"]
         params = self._replicate(self._params)
@@ -296,20 +322,21 @@ class EmpiricalRiskOperator(LinearOperator):
     def _batch_pred_loss_grad(self):
         """Yield ``((X, y), prediction, loss, grad)`` per batch."""
         if "pred_loss_grad" not in self._batch_fn_cache:
-            model_fn, loss_fn = self._model_fn, self._loss_fn
+            frozen, raw = unwrap_model_fn(self._model_fn)
+            loss_fn = self._loss_fn
 
             if loss_fn is None:
 
                 @jax.jit
-                def fn(params, X, y, c):
-                    return model_fn(params, X), None, None
+                def fn(frozen, params, X, y, c):
+                    return raw(frozen, params, X), None, None
 
             else:
 
                 @jax.jit
-                def fn(params, X, y, c):
+                def fn(frozen, params, X, y, c):
                     def objective(p):
-                        pred = model_fn(p, X)
+                        pred = raw(frozen, p, X)
                         return c * loss_fn(pred, y), pred
 
                     (loss, pred), grad = jax.value_and_grad(
@@ -317,7 +344,9 @@ class EmpiricalRiskOperator(LinearOperator):
                     )(params)
                     return pred, loss, grad
 
-            self._batch_fn_cache["pred_loss_grad"] = fn
+            self._batch_fn_cache["pred_loss_grad"] = (
+                lambda *args, _fn=fn: _fn(frozen, *args)
+            )
 
         fn = self._batch_fn_cache["pred_loss_grad"]
         params = self._replicate(self._params)

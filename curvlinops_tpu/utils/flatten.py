@@ -98,6 +98,25 @@ def tree_conj(tree: Any) -> Any:
     return jax.tree.map(jnp.conj, tree)
 
 
+def vmap_columns(fn: Callable, M: Any, max_columns: int | None = None) -> Any:
+    """vmap ``fn`` over the trailing column axis, optionally in chunks.
+
+    vmapping a (H/GGN/Fisher)-vector product over K matmat columns multiplies
+    residual memory by K (SURVEY.md hard part #5); ``max_columns`` bounds the
+    live chunk while keeping everything inside one jitted program (the chunk
+    loop unrolls at trace time — K is static under jit).
+    """
+    K = jax.tree.leaves(M)[0].shape[-1]
+    if max_columns is None or K <= max_columns:
+        return jax.vmap(fn, in_axes=-1, out_axes=-1)(M)
+    outs = []
+    for start in range(0, K, max_columns):
+        stop = min(start + max_columns, K)
+        chunk = jax.tree.map(lambda leaf: leaf[..., start:stop], M)
+        outs.append(jax.vmap(fn, in_axes=-1, out_axes=-1)(chunk))
+    return jax.tree.map(lambda *parts: jnp.concatenate(parts, axis=-1), *outs)
+
+
 def tree_randn_like(key: jax.Array, spec: Any, scale: float = 1.0) -> Any:
     """Standard-normal pytree matching a spec (for determinism probes/tests)."""
     leaves, treedef = jax.tree.flatten(spec)

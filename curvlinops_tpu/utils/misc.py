@@ -10,10 +10,39 @@ operators use (flax/haiku instead of ``nn.Module``), ``split_list``
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any, Callable, Sequence
 
 import jax
 import numpy as np
+
+
+@dataclass
+class FrozenModelFn:
+    """A model function with explicit frozen (non-differentiated) parameters.
+
+    Closing a ``model_fn`` over large constant arrays embeds them into every
+    jitted program's HLO (a classic JAX anti-pattern — for a 124M-parameter
+    GPT the frozen embeddings alone are ~300 MB of constants per kernel).
+    Wrapping them here lets every kernel-jitting site in the library pass the
+    frozen pytree as a runtime ARGUMENT instead.
+
+    ``fn`` has signature ``(frozen, params, X) -> prediction``; the object
+    itself is callable as ``(params, X) -> prediction``.
+    """
+
+    fn: Callable
+    frozen: Any
+
+    def __call__(self, params: Any, X: Any):
+        return self.fn(self.frozen, params, X)
+
+
+def unwrap_model_fn(model_fn) -> tuple[Any, Callable]:
+    """Split a model function into ``(frozen_pytree, fn(frozen, params, X))``."""
+    if isinstance(model_fn, FrozenModelFn):
+        return model_fn.frozen, model_fn.fn
+    return (), lambda frozen, params, X: model_fn(params, X)
 
 
 def allclose_report(

@@ -1,0 +1,54 @@
+"""Worked example: eigenvalues and spectral densities — fully on device.
+
+Counterparts of the reference's ``example_eigenvalues.py`` and
+``example_verification_spectral_density.py``, with LOBPCG / Lanczos replacing
+the SciPy/ARPACK host escapes.
+
+Run: ``python examples/02_eigenvalues_and_spectrum.py``
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import curvlinops_tpu as cl
+
+
+def main():
+    key = jax.random.key(0)
+    params = {
+        "W1": 0.4 * jax.random.normal(key, (12, 24)),
+        "W2": 0.4 * jax.random.normal(jax.random.key(1), (24, 5)),
+    }
+    model_fn = lambda p, x: jnp.tanh(x @ p["W1"]) @ p["W2"]  # noqa: E731
+    X = jax.random.normal(jax.random.key(2), (64, 12))
+    y = jax.random.normal(jax.random.key(3), (64, 5))
+
+    G = cl.GGNLinearOperator(model_fn, cl.MSELoss("mean"), params, [(X, y)])
+    damped = G + 1e-3 * cl.IdentityLinearOperator(G.in_spec)
+
+    # top-k eigenpairs via LOBPCG (never leaves the device)
+    evals, evecs = cl.topk_eigenpairs(damped, k=5, maxiter=200)
+    print("top-5 eigenvalues:", np.asarray(evals).round(5))
+
+    # full spectral density via Lanczos quadrature (Papyan 2020)
+    grid, density = cl.lanczos_approximate_spectrum(
+        damped, ncv=64, num_points=512, num_repeats=4
+    )
+    print("density integral:", float(jnp.trapezoid(density, grid)))
+
+    # log-spectrum for many-decades spectra
+    grid_log, density_log = cl.lanczos_approximate_log_spectrum(
+        damped, ncv=64, num_points=512, num_repeats=4
+    )
+    print("log-density integral:", float(jnp.trapezoid(density_log, grid_log)))
+
+    # cached variant amortizes Lanczos runs across hyperparameter sweeps
+    cached = cl.LanczosApproximateSpectrumCached(damped, ncv=64)
+    for kappa in (1.1, 3.0, 10.0):
+        _, d = cached.approximate_spectrum(num_repeats=4, kappa=kappa)
+        print(f"kappa={kappa}: peak density {float(d.max()):.4f}")
+
+
+if __name__ == "__main__":
+    main()

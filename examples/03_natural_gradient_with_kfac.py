@@ -1,0 +1,69 @@
+"""Worked example: natural gradient with KFAC / EKFAC and iterative inverses.
+
+Counterpart of the reference's ``example_inverses.py``: precondition the
+dataset gradient with a damped KFAC inverse, and cross-check against CG on
+the damped GGN.
+
+Run: ``python examples/03_natural_gradient_with_kfac.py``
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import curvlinops_tpu as cl
+
+
+def main():
+    key = jax.random.key(0)
+    params = {
+        "l0": {"W": 0.4 * jax.random.normal(key, (8, 32)), "b": jnp.zeros(32)},
+        "l1": {"W": 0.4 * jax.random.normal(jax.random.key(1), (32, 4)),
+               "b": jnp.zeros(4)},
+    }
+
+    def model_fn(p, x):
+        h = jax.nn.relu(x @ p["l0"]["W"] + p["l0"]["b"])
+        return h @ p["l1"]["W"] + p["l1"]["b"]
+
+    X = jax.random.normal(jax.random.key(2), (64, 8))
+    y = jax.random.randint(jax.random.key(3), (64,), 0, 4)
+    data = [(X[:32], y[:32]), (X[32:], y[32:])]
+    loss_fn = cl.CrossEntropyLoss("mean")
+
+    G = cl.GGNLinearOperator(model_fn, loss_fn, params, data)
+    grad, loss = G.gradient_and_loss()
+    print("loss:", float(loss))
+
+    delta = 1e-2
+
+    # KFAC-preconditioned (natural) gradient — one factor build, cheap matvecs
+    kfac = cl.KFACLinearOperator(model_fn, loss_fn, params, data,
+                                 fisher_type="mc", mc_samples=4)
+    nat_kfac = kfac.inverse(damping=delta, use_exact_damping=True) @ grad
+
+    # EKFAC: corrected eigenvalues in the Kronecker eigenbasis
+    ekfac = cl.EKFACLinearOperator(model_fn, loss_fn, params, data,
+                                   fisher_type="mc", mc_samples=4,
+                                   check_deterministic=False)
+    nat_ekfac = ekfac.inverse(damping=delta) @ grad
+
+    # exact damped-GGN solve via on-device CG (whole Krylov loop in one
+    # XLA program, including every data batch)
+    damped = G + delta * cl.IdentityLinearOperator(G.in_spec)
+    cg = cl.CGInverseLinearOperator(damped, maxiter=500, tol=1e-8)
+    nat_exact = cg @ grad
+
+    def angle(a, b):
+        a = np.concatenate([np.ravel(x) for x in jax.tree.leaves(a)])
+        b = np.concatenate([np.ravel(x) for x in jax.tree.leaves(b)])
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    print("cos(KFAC natgrad, exact):", round(angle(nat_kfac, nat_exact), 4))
+    print("cos(EKFAC natgrad, exact):", round(angle(nat_ekfac, nat_exact), 4))
+    print("cos(gradient, exact):     ", round(angle(grad, nat_exact), 4))
+    print("CG iterations:", int(cg.last_info["iterations"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -85,3 +85,18 @@ def test_dict_input_without_batch_size_fn_ok():
         batch_size_fn=case["batch_size_fn"],
     )
     assert op.num_data == 8
+
+
+def test_max_vmap_columns_chunking():
+    """Chunked-column matmats equal full-vmap matmats (memory policy)."""
+    case = make_case("mlp_mse_mean")
+    full = HessianLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        check_deterministic=False,
+    )
+    chunked = HessianLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        max_vmap_columns=2, check_deterministic=False,
+    )
+    X = np.random.default_rng(3).standard_normal((full.shape[1], 5)).astype(np.float32)
+    report_nonclose(chunked @ X, full @ X, rtol=1e-5, atol=1e-6)
