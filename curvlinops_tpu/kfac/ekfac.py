@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from curvlinops_tpu.curvature.ef import flatten_prediction, flatten_target
 from curvlinops_tpu.curvature.loss_hessian import FisherType, make_grad_output_fn
 from curvlinops_tpu.kfac import math as kmath
-from curvlinops_tpu.kfac.chain import KroneckerChainOperator
+from curvlinops_tpu.kfac.chain import KroneckerChainOperator, batched_eigh
 from curvlinops_tpu.kfac.computer import KFACComputer
 from curvlinops_tpu.kfac.operator import KFACLinearOperator, make_to_canonical
 from curvlinops_tpu.ops.base import ChainLinearOperator, PytreeLinearOperator
@@ -57,8 +57,10 @@ class EKFACComputer(KFACComputer):
     def compute_ekfac(self) -> tuple[dict, dict, dict, list]:
         """Return ``(Q_a, Q_g, corrected_eigenvalues, groups)``."""
         aaT, ggT, groups = self.compute()
-        Q_a = {gi: jnp.linalg.eigh(m)[1] for gi, m in aaT.items()}
-        Q_g = {gi: jnp.linalg.eigh(m)[1] for gi, m in ggT.items()}
+        eig_a = batched_eigh(aaT)
+        eig_g = batched_eigh(ggT)
+        Q_a = {gi: v for gi, (_, v) in eig_a.items()}
+        Q_g = {gi: v for gi, (_, v) in eig_g.items()}
 
         base_key = jax.random.key(self.seed)
         lambdas: dict = {}

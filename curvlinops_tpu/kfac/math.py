@@ -58,13 +58,18 @@ def _conv_spatial_dims(meta: dict) -> tuple[int, tuple, int, int]:
 
 
 def canonical_conv_weight(W: jax.Array, meta: dict) -> jax.Array:
-    """Reshape a conv kernel to canonical ``[d_out, d_in]``, d_in = (C, *K)."""
+    """Reshape a conv kernel to canonical ``[d_out, d_in]``, d_in = (*K, C).
+
+    The (kernel-position-major, channel-minor) order matches both the
+    reordered XLA patches and the Pallas fused covariance kernel's block
+    layout (contiguous ``[C, C]`` blocks per kernel-offset pair).
+    """
     dn = meta["dimension_numbers"]
     rhs_spec = dn.rhs_spec
     o_dim, i_dim = rhs_spec[0], rhs_spec[1]
     spatial = rhs_spec[2:]
-    perm = (o_dim, i_dim) + tuple(spatial)
-    Wp = jnp.transpose(W, perm)  # [O, I, *K]
+    perm = (o_dim,) + tuple(spatial) + (i_dim,)
+    Wp = jnp.transpose(W, perm)  # [O, *K, I]
     return Wp.reshape(Wp.shape[0], -1)
 
 
@@ -76,7 +81,7 @@ def canonical_conv_weight_inverse(
     rhs_spec = dn.rhs_spec
     o_dim, i_dim = rhs_spec[0], rhs_spec[1]
     spatial = rhs_spec[2:]
-    perm = (o_dim, i_dim) + tuple(spatial)
+    perm = (o_dim,) + tuple(spatial) + (i_dim,)
     permuted_shape = [shape[d] for d in perm]
     inv_perm = [perm.index(d) for d in range(len(shape))]
     return jnp.transpose(W_canon.reshape(permuted_shape), inv_perm)
@@ -108,7 +113,16 @@ def extract_conv_patches(x: jax.Array, meta: dict) -> jax.Array:
     c_pos, b_pos = out_spec[1], out_spec[0]
     patches = jnp.moveaxis(patches, (b_pos, c_pos), (0, patches.ndim - 1))
     B = patches.shape[0]
-    return patches.reshape(B, -1, patches.shape[-1])
+    patches = patches.reshape(B, -1, patches.shape[-1])
+    # conv_general_dilated_patches emits (C, *K) features; reorder to the
+    # canonical (*K, C) layout
+    S = patches.shape[1]
+    n_spatial, kernel_shape2, i_dim, _ = _conv_spatial_dims(meta)
+    C = x.shape[meta["dimension_numbers"].lhs_spec[1]]
+    prod_k = patches.shape[-1] // C
+    patches = patches.reshape(B, S, C, prod_k)
+    patches = jnp.swapaxes(patches, -1, -2).reshape(B, S, C * prod_k)
+    return patches
 
 
 def input_to_sharing_format(

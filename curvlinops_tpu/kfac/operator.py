@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from curvlinops_tpu.curvature.loss_hessian import FisherType, KFACType
 from curvlinops_tpu.kfac import math as kmath
-from curvlinops_tpu.kfac.chain import KroneckerChainOperator
+from curvlinops_tpu.kfac.chain import KroneckerChainOperator, batched_eigh
 from curvlinops_tpu.kfac.computer import KFACComputer, ParamGroup
 from curvlinops_tpu.ops.base import ChainLinearOperator, PytreeLinearOperator
 from curvlinops_tpu.ops.blockdiag import BlockDiagonalLinearOperator
@@ -220,21 +220,33 @@ class KFACLinearOperator(KroneckerChainOperator):
         damping inverts the Kronecker factors (Cholesky, fp64 retry), exact
         damping eigendecomposes them and inverts ``kron(eigvals) + delta``.
         """
-        import jax.numpy as jnp
-
         blocks_data = {}
-        for gi, block in zip(sorted(self._blocks_data), self.canonical.blocks):
-            inv = block.inverse(
-                damping=damping,
-                use_heuristic_damping=use_heuristic_damping,
-                min_damping=min_damping,
-                use_exact_damping=use_exact_damping,
-                retry_double_precision=retry_double_precision,
-            )
-            if use_exact_damping:
-                # EighDecomposed(1/(lam+delta), Kron(Q...))
-                blocks_data[gi] = ("eigh", (inv.eigenvalues, inv.Q.factors))
-            else:
+        if use_exact_damping:
+            # batch all factor eigendecompositions by shape (one vmapped
+            # eigh per distinct factor size across the whole model)
+            factor_index, flat = {}, {}
+            for gi in sorted(self._blocks_data):
+                _, factors = self._blocks_data[gi]
+                for fi, S in enumerate(factors):
+                    flat[(gi, fi)] = S
+            eig = batched_eigh(flat)
+            for gi in sorted(self._blocks_data):
+                _, factors = self._blocks_data[gi]
+                lams = [eig[(gi, fi)][0] for fi in range(len(factors))]
+                Qs = [eig[(gi, fi)][1] for fi in range(len(factors))]
+                kron_lam = lams[0]
+                for lam in lams[1:]:
+                    kron_lam = jnp.kron(kron_lam, lam)
+                blocks_data[gi] = ("eigh", (1.0 / (kron_lam + damping), Qs))
+        else:
+            for gi, block in zip(sorted(self._blocks_data), self.canonical.blocks):
+                inv = block.inverse(
+                    damping=damping,
+                    use_heuristic_damping=use_heuristic_damping,
+                    min_damping=min_damping,
+                    use_exact_damping=False,
+                    retry_double_precision=retry_double_precision,
+                )
                 blocks_data[gi] = ("kron", inv.factors)
         return KroneckerChainOperator(
             self._params, blocks_data, self._to_canonical, self._from_canonical

@@ -62,9 +62,17 @@ def _normalize_conv_geometry(x_shape, meta) -> dict | None:
 
 
 def pallas_conv_cov_supported(x_shape, meta, bias_pad) -> bool:
-    """Whether the fused Pallas kernel handles this conv's geometry."""
+    """Whether the fused Pallas kernel handles this conv's geometry.
+
+    The fusion pays off for the memory-heavy backbone convolutions (small
+    kernels, >= 16 channels): the block-pair accumulation issues
+    ``prod(K)^2`` MXU matmuls of ``[C, C]``, so degenerate first-layer
+    geometries (RGB input, 7x7 kernels) stay on the cheap XLA patches path.
+    """
     geo = _normalize_conv_geometry(x_shape, meta)
     if geo is None:
+        return False
+    if geo["kh"] * geo["kw"] > 9 or geo["C"] < 16 or geo["C"] % 8 != 0:
         return False
     d = geo["d_in"] + (1 if bias_pad is not None else 0)
     return d <= MAX_PALLAS_D_IN
@@ -101,35 +109,49 @@ def conv_input_covariance(
     d = geo["d_in"] + (1 if bias_pad is not None else 0)
     pad_val = None if bias_pad is None else float(bias_pad)
 
+    n_offsets = kh * kw
+
     def kernel(x_ref, out_ref):
         b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            out_ref[:] = jnp.zeros((d, d), jnp.float32)
+
         img = x_ref[0]  # [H, W, C] for this grid step
-        img = jnp.pad(img, ((ph0, ph1), (pw0, pw1), (0, 0)))
+        # extra (stride-1) tail padding lets strided sampling be expressed as
+        # stride-1 slice + reshape-subsample (Mosaic rejects strided slices)
+        img = jnp.pad(img, ((ph0, ph1 + sh - 1), (pw0, pw1 + sw - 1), (0, 0)))
         cols = []
         for i in range(kh):
             for j in range(kw):
                 v = jax.lax.slice(
-                    img,
-                    (i, j, 0),
-                    (i + sh * (Ho - 1) + 1, j + sw * (Wo - 1) + 1, C),
-                    (sh, sw, 1),
+                    img, (i, j, 0), (i + sh * Ho, j + sw * Wo, C)
                 )
-                cols.append(v.reshape(S, C))
-        # [S, C, KH*KW] -> [S, C*KH*KW]: canonical (C, KH, KW) feature order
-        P = jnp.stack(cols, axis=-1).reshape(S, geo["d_in"])
+                if sh > 1 or sw > 1:
+                    v = v.reshape(Ho, sh, Wo, sw, C)[:, 0, :, 0, :]
+                cols.append(v.reshape(S, C))  # [S, C] per kernel offset
+
+        # canonical (*K, C) layout: the covariance is a grid of [C, C]
+        # blocks, one per kernel-offset pair — contiguous static-slice
+        # writes, no VMEM reshapes/concats (Mosaic-friendly)
+        for k1 in range(n_offsets):
+            for k2 in range(n_offsets):
+                block = jnp.dot(
+                    cols[k1].T, cols[k2], preferred_element_type=jnp.float32
+                )
+                out_ref[k1 * C : (k1 + 1) * C, k2 * C : (k2 + 1) * C] += block
         if pad_val is not None:
-            P = jnp.concatenate(
-                [P, jnp.full((S, 1), pad_val, P.dtype)], axis=1
+            ones = jnp.full((S, 1), pad_val, img.dtype)
+            for k1 in range(n_offsets):
+                cross = jnp.dot(
+                    cols[k1].T, ones, preferred_element_type=jnp.float32
+                )
+                out_ref[k1 * C : (k1 + 1) * C, d - 1 : d] += cross
+                out_ref[d - 1 : d, k1 * C : (k1 + 1) * C] += cross.T
+            out_ref[d - 1 : d, d - 1 : d] += jnp.full(
+                (1, 1), pad_val * pad_val * S, jnp.float32
             )
-        acc = jnp.dot(P.T, P, preferred_element_type=jnp.float32)
-
-        @pl.when(b == 0)
-        def _():
-            out_ref[:] = acc
-
-        @pl.when(b > 0)
-        def _():
-            out_ref[:] += acc
 
     cov = pl.pallas_call(
         kernel,
@@ -141,6 +163,9 @@ def conv_input_covariance(
         out_specs=pl.BlockSpec((d, d), lambda b: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(x)
     return cov.astype(x.dtype), S

@@ -182,3 +182,40 @@ def test_kfoc_zero_ggn_block():
                 if "W1" in str(g.weight_path)][0]
     assert float(jnp.abs(kfoc._ggT[w1_group]).max()) == 0.0
     assert float(jnp.abs(kfoc._aaT[w1_group]).max()) == 0.0
+
+
+def test_batched_eigh_matches_sequential():
+    from curvlinops_tpu.kfac.chain import batched_eigh
+
+    key = jax.random.key(42)
+    mats = {}
+    for i, n in enumerate([4, 4, 6, 4, 6]):
+        k = jax.random.fold_in(key, i)
+        A = jax.random.normal(k, (n, n))
+        mats[i] = A @ A.T + jnp.eye(n)
+    out = batched_eigh(mats)
+    for i, m in mats.items():
+        w_ref, v_ref = jnp.linalg.eigh(m)
+        w, v = out[i]
+        report_nonclose(w, w_ref, rtol=1e-5, atol=1e-6, name=f"eigvals {i}")
+        # eigenvectors up to sign: compare reconstructions
+        report_nonclose(
+            (v * w) @ v.T, np.asarray(m), rtol=1e-4, atol=1e-5,
+            name=f"reconstruction {i}",
+        )
+
+
+def test_ekfac_exact_damped_inverse_after_batched_eigh():
+    """Exact-damped KFAC inverse (batched-eigh path) still matches dense."""
+    from curvlinops_tpu.kfac.operator import KFACLinearOperator as K
+
+    case = _make_linear_case("mean")
+    kfac = K(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        fisher_type=FisherType.TYPE2, check_deterministic=False,
+    )
+    dense = np.asarray(kfac.todense())
+    inv = kfac.inverse(damping=0.5, use_exact_damping=True)
+    v = np.random.default_rng(8).standard_normal(len(dense)).astype(np.float32)
+    expected = np.linalg.solve(dense + 0.5 * np.eye(len(dense)), v)
+    report_nonclose(inv @ v, expected, rtol=5e-3, atol=1e-4, name="exact inv")

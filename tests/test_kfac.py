@@ -396,9 +396,42 @@ def test_kfac_forward_only():
         report_nonclose(ggT, np.eye(group.d_out), name=f"identity ggT {gi}")
 
 
+def _pallas_conv_case():
+    """A conv case inside the Pallas kernel's support window (C>=16, 3x3)."""
+    from curvlinops_tpu import CrossEntropyLoss
+
+    key = jax.random.key(21)
+    params = {
+        "conv1": {"W": 0.2 * jax.random.normal(key, (3, 3, 16, 8)),
+                  "b": 0.05 * jax.random.normal(jax.random.key(22), (8,))},
+        "dense": {"W": 0.2 * jax.random.normal(jax.random.key(23), (8, 3))},
+    }
+
+    def model(p, x):  # x: [N, 8, 8, 16]
+        z = jax.lax.conv_general_dilated(
+            x, p["conv1"]["W"], (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        z = jax.nn.relu(z + p["conv1"]["b"])
+        return jnp.mean(z, axis=(1, 2)) @ p["dense"]["W"]
+
+    X = jax.random.normal(jax.random.key(24), (6, 8, 8, 16))
+    y = jax.random.randint(jax.random.key(25), (6,), 0, 3)
+    return dict(model_fn=model, loss_fn=CrossEntropyLoss("mean"),
+                params=params, data=[(X, y)])
+
+
 def test_kfac_pallas_conv_covariance_matches_xla():
     """The fused Pallas patch-covariance path equals the XLA patches path."""
-    case = make_case("cnn_ce")
+    from curvlinops_tpu.kfac.pallas_kernels import pallas_conv_cov_supported
+    from curvlinops_tpu.kfac.collector import TracedModel
+
+    case = _pallas_conv_case()
+    tm = TracedModel(case["model_fn"], case["params"], case["data"][0][0])
+    conv_use = [u for u in tm.layers if u.kind == "conv"][0]
+    assert pallas_conv_cov_supported(
+        case["data"][0][0].shape, conv_use.meta, None
+    ), "test case must exercise the Pallas path"
     kw = dict(fisher_type=FisherType.TYPE2, check_deterministic=False)
     ref = KFACLinearOperator(
         case["model_fn"], case["loss_fn"], case["params"], case["data"],
@@ -418,7 +451,7 @@ def test_kfac_pallas_conv_covariance_matches_xla():
 
 
 def test_kfac_pallas_joint_bias_column():
-    case = make_case("cnn_ce")
+    case = _pallas_conv_case()
     kw = dict(
         fisher_type=FisherType.TYPE2,
         separate_weight_and_bias=False,

@@ -120,3 +120,39 @@ def test_nanogpt_problem_constructs_tiny():
     X, y = prob.data[0]
     assert prob.model_fn(prob.params, X).shape == (2 * 8, 16)
     assert y.shape == (2 * 8,)
+
+
+def test_frozen_params_not_captured_as_constants():
+    """FrozenModelFn keeps big frozen arrays out of kernel HLO constants."""
+    import warnings
+    from functools import partial
+
+    from curvlinops_tpu import CrossEntropyLoss
+    from curvlinops_tpu.kfac.computer import KFACComputer
+
+    config = GPTConfig(block_size=8, vocab_size=8192, n_layer=1, n_head=2,
+                       n_embd=32)  # frozen wte+lm_head ~ 2 MB
+    params = init_gpt(jax.random.key(0), config)
+    apply_fn = partial(gpt_apply, config=config)
+    kfac_fn, kfac_params = kfac_restricted(apply_fn, params)
+    tokens = jax.random.randint(jax.random.key(1), (2, 8), 0, config.vocab_size)
+    y = jax.random.randint(jax.random.key(2), (16,), 0, config.vocab_size)
+
+    comp = KFACComputer(
+        kfac_fn, CrossEntropyLoss("mean"), kfac_params, [(tokens, y)],
+        fisher_type="mc", mc_samples=1, check_deterministic=False,
+        use_pallas=False,
+    )
+    old = jax.config.jax_captured_constants_warn_bytes
+    try:
+        jax.config.update("jax_captured_constants_warn_bytes", 500_000)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            kernel = comp._get_kernel(tokens)
+            out = kernel(comp.params, tokens, y, jax.random.key(3),
+                         jnp.float32(1.0))
+            jax.block_until_ready(out)
+        captures = [w for w in caught if "constants were captured" in str(w.message)]
+        assert not captures, [str(w.message) for w in captures]
+    finally:
+        jax.config.update("jax_captured_constants_warn_bytes", old)
