@@ -21,6 +21,7 @@ from curvlinops_tpu.estimators.diagonal import hutchinson_diag, xdiag
 from curvlinops_tpu.estimators.norm import hutchinson_squared_fro
 from curvlinops_tpu.estimators.trace import hutchinson_trace, hutchpp_trace, xtrace
 from curvlinops_tpu.solvers.eigsh import topk_eigenpairs
+from curvlinops_tpu.utils.misc import FrozenModelFn, make_functional_call
 from curvlinops_tpu.solvers.lanczos import (
     LanczosApproximateLogSpectrumCached,
     LanczosApproximateSpectrumCached,
@@ -102,4 +103,7 @@ __all__ = [
     "xdiag",
     # norm estimation
     "hutchinson_squared_fro",
+    # adapters
+    "make_functional_call",
+    "FrozenModelFn",
 ]

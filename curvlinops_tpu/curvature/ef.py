@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from curvlinops_tpu.losses import (
-    BCEWithLogitsLoss,
     CrossEntropyLoss,
     MSELoss,
     SUPPORTED_LOSSES,

@@ -23,7 +23,7 @@ from curvlinops_tpu.curvature.loss_hessian import FisherType, make_grad_output_f
 from curvlinops_tpu.ops.diagonal import DiagonalLinearOperator
 from curvlinops_tpu.risk import default_batch_size
 from curvlinops_tpu.utils.misc import unwrap_model_fn
-from curvlinops_tpu.utils.flatten import tree_add, tree_scale
+from curvlinops_tpu.utils.flatten import tree_add
 
 
 def make_batch_ggn_diagonal(

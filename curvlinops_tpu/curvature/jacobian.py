@@ -12,13 +12,13 @@ require a fixed data order and are each other's adjoint.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 from curvlinops_tpu.risk import EmpiricalRiskOperator
-from curvlinops_tpu.utils.flatten import tree_add, tree_scale
+from curvlinops_tpu.utils.flatten import tree_add
 from curvlinops_tpu.utils.misc import unwrap_model_fn
 
 

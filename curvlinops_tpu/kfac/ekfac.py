@@ -24,11 +24,6 @@ from curvlinops_tpu.kfac import math as kmath
 from curvlinops_tpu.kfac.chain import KroneckerChainOperator, batched_eigh
 from curvlinops_tpu.kfac.computer import KFACComputer
 from curvlinops_tpu.kfac.operator import KFACLinearOperator, make_to_canonical
-from curvlinops_tpu.ops.base import ChainLinearOperator, PytreeLinearOperator
-from curvlinops_tpu.ops.blockdiag import BlockDiagonalLinearOperator
-from curvlinops_tpu.ops.eigh import EighDecomposedLinearOperator
-from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator
-from curvlinops_tpu.utils.flatten import spec_of
 
 
 class EKFACComputer(KFACComputer):

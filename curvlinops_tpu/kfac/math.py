@@ -22,7 +22,6 @@ reduction (``kfac_math.py:172-203``).
 from __future__ import annotations
 
 import math
-from typing import Any
 
 import jax
 import jax.numpy as jnp

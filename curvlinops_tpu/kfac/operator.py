@@ -22,10 +22,7 @@ from curvlinops_tpu.curvature.loss_hessian import FisherType, KFACType
 from curvlinops_tpu.kfac import math as kmath
 from curvlinops_tpu.kfac.chain import KroneckerChainOperator, batched_eigh
 from curvlinops_tpu.kfac.computer import KFACComputer, ParamGroup
-from curvlinops_tpu.ops.base import ChainLinearOperator, PytreeLinearOperator
 from curvlinops_tpu.ops.blockdiag import BlockDiagonalLinearOperator
-from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator
-from curvlinops_tpu.utils.flatten import spec_of
 
 
 def _leaf_by_path(tree: Any, path: tuple):

@@ -18,8 +18,6 @@ Applicable when the covariance (and one image's patch block) fit VMEM
 
 from __future__ import annotations
 
-import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ curvature operator — compiles into ONE XLA program with zero host syncs.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

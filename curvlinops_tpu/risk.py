@@ -18,7 +18,6 @@ TPU-native re-design of the reference's ``_EmpiricalRiskMixin``
 from __future__ import annotations
 
 from collections.abc import Iterable
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -28,12 +27,7 @@ import numpy as np
 from curvlinops_tpu.losses import CrossEntropyLoss, Loss
 from curvlinops_tpu.ops.base import LinearOperator
 from curvlinops_tpu.utils.misc import unwrap_model_fn
-from curvlinops_tpu.utils.flatten import (
-    spec_of,
-    tree_add,
-    tree_scale,
-    zeros_like_spec,
-)
+from curvlinops_tpu.utils.flatten import spec_of, tree_add
 
 
 def default_batch_size(X: Any) -> int:

@@ -10,7 +10,6 @@ no host round trips, no per-column Python loops. Converged columns freeze
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax

@@ -19,7 +19,6 @@ The ``*Cached`` classes memoize Lanczos runs across hyperparameter sweeps
 from __future__ import annotations
 
 import math
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
