@@ -470,3 +470,34 @@ def test_kfac_pallas_joint_bias_column():
             pallas._aaT[gi], ref._aaT[gi], rtol=1e-4, atol=1e-5,
             name=f"pallas joint aaT {gi}",
         )
+
+
+@pytest.mark.parametrize("reduction", ["mean", "sum"])
+def test_kfac_expand_exact_weight_sharing_deep_linear(reduction):
+    """Deep LINEAR weight-shared net + MSE: expand-KFAC == block-diagonal GGN.
+
+    The oracle for the weight-sharing scaling web (SURVEY.md hard part #2;
+    reference ``test_kfac.py:690``-class tests).
+    """
+    from curvlinops_tpu import MSELoss
+
+    params = _mlp_params(jax.random.key(30), [4, 3, 2])
+
+    def seq_linear(p, x):
+        for i in range(len(p)):
+            x = x @ p[f"layer{i}"]["W"] + p[f"layer{i}"]["b"]
+        return x
+
+    X = jax.random.normal(jax.random.key(31), (6, 5, 4))
+    y = jax.random.normal(jax.random.key(32), (6, 5, 2))
+    data = [(X, y)]
+    kfac = KFACLinearOperator(
+        seq_linear, MSELoss(reduction), params, data,
+        fisher_type=FisherType.TYPE2, kfac_approx=KFACType.EXPAND,
+        check_deterministic=False,
+    )
+    dense = dense_ggn(seq_linear, MSELoss(reduction), params, data)
+    expected = blockdiag_projection(dense, params, kfac.groups)
+    report_nonclose(
+        kfac.todense(), expected, rtol=5e-4, atol=1e-5, name="expand exact"
+    )
