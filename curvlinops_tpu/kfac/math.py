@@ -89,13 +89,25 @@ def canonical_conv_weight_inverse(
 def extract_conv_patches(x: jax.Array, meta: dict) -> jax.Array:
     """Unfold a conv input to ``[B, S, d_in]`` (one XLA op, MXU-friendly).
 
+    Grouped convolutions average the input over channel groups before patch
+    extraction, matching the reference (``kfac_utils.py:117-121``).
+
     Raises:
-        NotImplementedError: For grouped convolutions.
+        NotImplementedError: For batch-grouped convolutions.
     """
-    if meta["feature_group_count"] != 1 or meta["batch_group_count"] != 1:
+    if meta["batch_group_count"] != 1:
         raise NotImplementedError(
-            "Grouped convolutions are not supported by KFAC patch extraction."
+            "Batch-grouped convolutions are not supported by KFAC."
         )
+    groups = meta["feature_group_count"]
+    if groups > 1:
+        dn0 = meta["dimension_numbers"]
+        c_dim = dn0.lhs_spec[1]
+        C = x.shape[c_dim]
+        cg = C // groups
+        shape = list(x.shape)
+        grouped_shape = shape[:c_dim] + [groups, cg] + shape[c_dim + 1 :]
+        x = jnp.mean(x.reshape(grouped_shape), axis=c_dim)
     _, kernel_shape, _, _ = _conv_spatial_dims(meta)
     dn = meta["dimension_numbers"]
     patches = jax.lax.conv_general_dilated_patches(

@@ -100,3 +100,31 @@ def test_max_vmap_columns_chunking():
     )
     X = np.random.default_rng(3).standard_normal((full.shape[1], 5)).astype(np.float32)
     report_nonclose(chunked @ X, full @ X, rtol=1e-5, atol=1e-6)
+
+
+def test_bfloat16_operator_roundtrip():
+    """Operators work end-to-end with bfloat16 parameters (TPU-native dtype)."""
+    import jax.numpy as jnp
+
+    case = make_case("mlp_mse_mean")
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), case["params"])
+    data = [
+        (X.astype(jnp.bfloat16), y.astype(jnp.bfloat16)) for X, y in case["data"]
+    ]
+    op = HessianLinearOperator(
+        case["model_fn"], case["loss_fn"], params, data,
+        check_deterministic=False,
+    )
+    assert op.dtype == jnp.bfloat16
+    v = np.random.default_rng(4).standard_normal(op.shape[0]).astype(np.float32)
+    out = op @ v  # numpy in -> numpy out, via bf16 compute
+    assert out.dtype == np.float32 and np.isfinite(out).all()
+
+    # rough agreement with the fp32 operator
+    ref = HessianLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        check_deterministic=False,
+    )
+    ref_out = ref @ v
+    scale = max(np.abs(ref_out).max(), 1e-3)
+    assert np.abs(out - ref_out).max() / scale < 0.1

@@ -501,3 +501,46 @@ def test_kfac_expand_exact_weight_sharing_deep_linear(reduction):
     report_nonclose(
         kfac.todense(), expected, rtol=5e-4, atol=1e-5, name="expand exact"
     )
+
+
+def test_grouped_conv_patches_group_averaged():
+    """Grouped convs: patches of the group-averaged input (kfac_utils.py:117)."""
+    from curvlinops_tpu import CrossEntropyLoss
+    from curvlinops_tpu.kfac import math as kmath
+    from curvlinops_tpu.kfac.collector import TracedModel
+
+    key = jax.random.key(40)
+    params = {
+        "conv": {"W": 0.2 * jax.random.normal(key, (3, 3, 4, 8))},  # C_in/g = 4
+        "dense": {"W": 0.2 * jax.random.normal(jax.random.key(41), (8, 3))},
+    }
+
+    def model(p, x):  # x: [N, 8, 8, 8], groups=2
+        z = jax.lax.conv_general_dilated(
+            x, p["conv"]["W"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=2,
+        )
+        return jnp.mean(z, axis=(1, 2)) @ p["dense"]["W"]
+
+    X = jax.random.normal(jax.random.key(42), (3, 8, 8, 8))
+    y = jax.random.randint(jax.random.key(43), (3,), 0, 3)
+
+    tm = TracedModel(model, params, X)
+    conv_use = [u for u in tm.layers if u.kind == "conv"][0]
+    patches = kmath.extract_conv_patches(X, conv_use.meta)
+    assert patches.shape == (3, 64, 4 * 9)
+
+    # manual: group-mean then single-group patches
+    X_avg = X.reshape(3, 8, 8, 2, 4).mean(axis=3)
+    meta_plain = dict(conv_use.meta, feature_group_count=1)
+    ref = kmath.extract_conv_patches(X_avg, meta_plain)
+    report_nonclose(patches, ref, rtol=1e-5, atol=1e-6, name="grouped patches")
+
+    # the full KFAC build works on the grouped-conv model
+    kfac = KFACLinearOperator(
+        model, CrossEntropyLoss("mean"), params, [(X, y)],
+        fisher_type=FisherType.TYPE2, check_deterministic=False,
+    )
+    v = np.random.default_rng(9).standard_normal(kfac.shape[0]).astype(np.float32)
+    assert np.isfinite(kfac @ v).all()
