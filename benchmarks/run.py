@@ -184,6 +184,10 @@ def main() -> None:
         help="comma-separated subset",
     )
     parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument(
+        "--dtype", default="float32", choices=["float32", "bfloat16"],
+        help="parameter/activation dtype (bfloat16 = TPU-native speed mode)",
+    )
     args = parser.parse_args()
 
     from curvlinops_tpu.curvature.ef import make_batch_ef_matmat
@@ -195,11 +199,18 @@ def main() -> None:
     from curvlinops_tpu.models import PROBLEMS
 
     setup = PROBLEMS["synthetic_" + args.problem]
-    prob = setup(**({"batch_size": args.batch_size} if args.batch_size else {}))
+    setup_kwargs = {"dtype": jnp.dtype(args.dtype)}
+    if args.batch_size:
+        setup_kwargs["batch_size"] = args.batch_size
+    prob = setup(**setup_kwargs)
     ops = args.ops.split(",")
 
     print(f"problem={prob.name} device={jax.devices()[0]}", file=sys.stderr)
-    results: dict = {"problem": prob.name, "device": str(jax.devices()[0])}
+    results: dict = {
+        "problem": prob.name,
+        "device": str(jax.devices()[0]),
+        "dtype": args.dtype,
+    }
 
     if "gradient" in ops:
         results["gradient+loss (ms)"] = round(bench_gradient(prob), 3)
@@ -233,7 +244,8 @@ def main() -> None:
 
     out_dir = Path(__file__).parent / "results"
     out_dir.mkdir(exist_ok=True)
-    out_file = out_dir / f"{prob.name}.json"
+    suffix = "" if args.dtype == "float32" else f"_{args.dtype}"
+    out_file = out_dir / f"{prob.name}{suffix}.json"
     out_file.write_text(json.dumps(results, indent=2))
     print(json.dumps(results, indent=2))
 

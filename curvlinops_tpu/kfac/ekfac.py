@@ -58,8 +58,18 @@ class EKFACComputer(KFACComputer):
         Q_g = {gi: v for gi, (_, v) in eig_g.items()}
 
         base_key = jax.random.key(self.seed)
+        params = self.params
+        if self.mesh is not None:
+            from curvlinops_tpu.parallel.mesh import replicate
+
+            params = replicate(params, self.mesh)
         lambdas: dict = {}
         for idx, (X, y) in enumerate(self.data):
+            if self.mesh is not None:
+                from curvlinops_tpu.parallel.mesh import shard_batch
+
+                X = shard_batch(X, self.mesh, self.data_axis)
+                y = shard_batch(y, self.mesh, self.data_axis)
             kernel = self._get_corr_kernel(X)
             B = self.batch_size_fn(X)
             correction = kmath.loss_correction(
@@ -69,7 +79,7 @@ class EKFACComputer(KFACComputer):
                 self.num_data,
             )
             out = kernel(
-                self.params,
+                params,
                 X,
                 y,
                 jax.random.fold_in(base_key, idx),

@@ -107,3 +107,27 @@ def test_2d_mesh_with_sharded_params():
     )
     v = np.random.default_rng(1).standard_normal(op.shape[0]).astype(np.float32)
     report_nonclose(op @ v, single @ v, rtol=1e-5, atol=1e-6, name="dp+mp matvec")
+
+
+def test_ekfac_across_mesh(mesh):
+    from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
+
+    case = make_case("mlp_ce_mean", seed=5)
+    X = jnp.concatenate([case["data"][0][0]] * 2)[:8]
+    y = jnp.concatenate([case["data"][0][1]] * 2)[:8]
+    data = [(X, y)]
+    kw = dict(fisher_type="type-2", check_deterministic=False)
+    single = EKFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data, **kw
+    )
+    sharded = EKFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data, mesh=mesh, **kw
+    )
+    for gi in single.corrected_eigenvalues:
+        report_nonclose(
+            sharded.corrected_eigenvalues[gi],
+            single.corrected_eigenvalues[gi],
+            rtol=1e-4,
+            atol=1e-6,
+            name=f"lambdas {gi}",
+        )
