@@ -74,6 +74,7 @@ def make_batch_ef_matmat(
 
     def batch_matmat(params: Any, X: Any, y: Any, M: Any, c, key) -> Any:
         del key
+        c = c.astype(jax.tree.leaves(M)[0].dtype) if hasattr(c, 'astype') else c
 
         def f_flat(p):
             return flatten_prediction(loss_fn, model_fn(p, X))

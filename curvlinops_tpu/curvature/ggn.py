@@ -41,6 +41,7 @@ def make_batch_ggn_matmat(
 
     def batch_matmat(params: Any, X: Any, y: Any, M: Any, c, key) -> Any:
         del key
+        c = c.astype(jax.tree.leaves(M)[0].dtype) if hasattr(c, 'astype') else c
 
         def f(p):
             return model_fn(p, X)
@@ -74,6 +75,8 @@ def make_batch_ggn_mc_matmat(
     grad_output_fn = make_grad_output_fn(loss_fn, FisherType.MC, mc_samples)
 
     def batch_matmat(params: Any, X: Any, y: Any, M: Any, c, key) -> Any:
+        c = c.astype(jax.tree.leaves(M)[0].dtype) if hasattr(c, 'astype') else c
+
         def f(p):
             return model_fn(p, X)
 

@@ -49,6 +49,8 @@ def make_batch_hessian_matmat(
 
     def batch_matmat(params: Any, X: Any, y: Any, M: Any, c, key) -> Any:
         del key  # deterministic
+        # keep the normalization scalar in the operand dtype (bf16-safe)
+        c = c.astype(jax.tree.leaves(M)[0].dtype) if hasattr(c, 'astype') else c
 
         def batch_loss(p: Any):
             return loss_fn(model_fn(p, X), y)
