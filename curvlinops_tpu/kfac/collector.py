@@ -95,6 +95,28 @@ def _path_str(path) -> str:
     return jax.tree_util.keystr(path)
 
 
+def _view_descriptor(prim_name: str, params: dict, in_shape: tuple):
+    """Serializable description of a transparent op for later replay."""
+    if prim_name == "transpose":
+        return ("transpose", tuple(params["permutation"]), tuple(in_shape))
+    if prim_name == "reshape":
+        return ("reshape", tuple(params["new_sizes"]), tuple(in_shape))
+    if prim_name == "convert_element_type":
+        return ("convert", str(params["new_dtype"]), tuple(in_shape))
+    if prim_name == "squeeze":
+        return ("squeeze", tuple(params["dimensions"]), tuple(in_shape))
+    if prim_name == "broadcast_in_dim":
+        return ("broadcast", tuple(params["shape"]), tuple(in_shape))
+    if prim_name in ("copy", "rev"):
+        return (prim_name, tuple(params.get("dimensions", ())), tuple(in_shape))
+    return (prim_name, None, tuple(in_shape))
+
+
+def _views_invertible(views) -> bool:
+    """Whether a weight's view chain can be inverted by the canonicalizers."""
+    return all(v[0] in ("transpose", "reshape", "convert", "squeeze") for v in views)
+
+
 class _FlatIR:
     """Flattened (container-inlined) equation list with stable var keys."""
 
@@ -248,10 +270,13 @@ class TracedModel:
             jax.eval_shape(raw, frozen, params, X_example)
         )
 
-        # provenance: var key -> param leaf id (through transparent ops only)
-        derived: dict[Any, int] = {}
+        # provenance: var key -> (param leaf id, view chain). The view chain
+        # records the transparent ops between the leaf and the value (e.g.
+        # HuggingFace's Conv1D transposes its kernel before the matmul), so
+        # the canonical converters can replay/invert them.
+        derived: dict[Any, tuple] = {}
         for i, key in enumerate(ir.invar_keys[n_frozen : n_frozen + n_params]):
-            derived[key] = i
+            derived[key] = (i, ())
 
         # first pass: propagate transparent views & collect matches
         layers: list[LayerUse] = []
@@ -261,19 +286,23 @@ class TracedModel:
 
         for op_index, op in enumerate(ir.ops):
             in_keys = [a[1] if a[0] == "var" else None for a in op.in_atoms]
-            leaf_ids = [derived.get(k) for k in in_keys]
+            entries = [derived.get(k) for k in in_keys]
+            leaf_ids = [e[0] if e is not None else None for e in entries]
             prim_name = op.prim.name if op.prim is not None else "alias"
 
             if op.prim is None:  # alias
-                if leaf_ids[0] is not None:
-                    derived[op.out_keys[0]] = leaf_ids[0]
+                if entries[0] is not None:
+                    derived[op.out_keys[0]] = entries[0]
                 if in_keys[0] in produced_by_layer:
                     produced_by_layer[op.out_keys[0]] = produced_by_layer[in_keys[0]]
                 continue
 
             if prim_name in _TRANSPARENT:
-                if leaf_ids[0] is not None:
-                    derived[op.out_keys[0]] = leaf_ids[0]
+                if entries[0] is not None:
+                    lid0, views = entries[0]
+                    in_shape = self._atom_shape(op.in_atoms[0], closed)
+                    view = _view_descriptor(prim_name, op.params, in_shape)
+                    derived[op.out_keys[0]] = (lid0, views + (view,))
                 if in_keys[0] in produced_by_layer:
                     produced_by_layer[op.out_keys[0]] = produced_by_layer[in_keys[0]]
                 continue
@@ -282,12 +311,19 @@ class TracedModel:
                 param_slots = [s for s, lid in enumerate(leaf_ids) if lid is not None]
                 if len(param_slots) == 1:
                     w_slot = param_slots[0]
-                    leaf_id = leaf_ids[w_slot]
-                    w_shape = param_shapes[leaf_id]
+                    leaf_id, w_views = entries[w_slot]
+                    w_shape = self._atom_shape(op.in_atoms[w_slot], closed)
                     x_slot = 1 - w_slot
                     x_aval_shape = self._atom_shape(op.in_atoms[x_slot], closed)
-                    meta = _canonicalize_dense(op, w_slot, w_shape, x_aval_shape)
+                    meta = (
+                        _canonicalize_dense(op, w_slot, w_shape, x_aval_shape)
+                        if _views_invertible(w_views)
+                        else None
+                    )
                     if meta is not None:
+                        meta["w_views"] = w_views
+                        meta["w_leaf_shape"] = tuple(param_shapes[leaf_id])
+                        meta["w_operand_shape"] = tuple(w_shape)
                         lid = len(layers)
                         name = f"Dense{kind_counter['dense']}"
                         kind_counter["dense"] += 1
@@ -310,12 +346,19 @@ class TracedModel:
                 continue
 
             if prim_name == "conv_general_dilated":
-                if leaf_ids[1] is not None and leaf_ids[0] is None:
-                    leaf_id = leaf_ids[1]
-                    w_shape = param_shapes[leaf_id]
+                if (
+                    leaf_ids[1] is not None
+                    and leaf_ids[0] is None
+                    and _views_invertible(entries[1][1])
+                ):
+                    leaf_id, w_views = entries[1]
+                    w_shape = self._atom_shape(op.in_atoms[1], closed)
                     lid = len(layers)
                     name = f"Conv{kind_counter['conv']}"
                     kind_counter["conv"] += 1
+                    meta = _conv_meta(op, w_shape)
+                    meta["w_views"] = w_views
+                    meta["w_leaf_shape"] = tuple(param_shapes[leaf_id])
                     layers.append(
                         LayerUse(
                             layer_id=lid,
@@ -324,7 +367,7 @@ class TracedModel:
                             weight_path=self.param_paths[leaf_id],
                             op_index=op_index,
                             input_slot=0,
-                            meta=_conv_meta(op, w_shape),
+                            meta=meta,
                         )
                     )
                     produced_by_layer[op.out_keys[0]] = lid

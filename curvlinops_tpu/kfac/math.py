@@ -29,8 +29,45 @@ import jax.numpy as jnp
 from curvlinops_tpu.curvature.loss_hessian import KFACType
 
 
+def apply_weight_views(W: jax.Array, views) -> jax.Array:
+    """Replay the transparent ops between a weight leaf and its layer operand.
+
+    Some frameworks transform the stored parameter before the matmul (e.g.
+    HuggingFace's GPT-2 Conv1D transposes its kernel); the jaxpr collector
+    records the chain so the canonical converters see the operand layout.
+    """
+    for kind, arg, _in_shape in views:
+        if kind == "transpose":
+            W = jnp.transpose(W, arg)
+        elif kind == "reshape":
+            W = W.reshape(arg)
+        elif kind == "convert":
+            W = W.astype(arg)
+        elif kind == "squeeze":
+            W = jax.lax.squeeze(W, arg)
+        else:
+            raise ValueError(f"Non-invertible weight view {kind!r}.")
+    return W
+
+
+def invert_weight_views(W: jax.Array, views) -> jax.Array:
+    """Inverse of :func:`apply_weight_views`."""
+    for kind, arg, in_shape in reversed(views):
+        if kind == "transpose":
+            inv = [arg.index(d) for d in range(len(arg))]
+            W = jnp.transpose(W, inv)
+        elif kind in ("reshape", "squeeze"):
+            W = W.reshape(in_shape)
+        elif kind == "convert":
+            pass  # dtype restored by the caller's parameter dtype
+        else:
+            raise ValueError(f"Non-invertible weight view {kind!r}.")
+    return W
+
+
 def canonical_dense_weight(W: jax.Array, meta: dict) -> jax.Array:
     """Reshape a dense weight leaf to canonical ``[d_out, d_in]``."""
+    W = apply_weight_views(W, meta.get("w_views", ()))
     perm = meta["w_free"] + meta["w_contract"]
     return jnp.transpose(W, perm).reshape(meta["d_out"], meta["d_in"])
 
@@ -38,11 +75,13 @@ def canonical_dense_weight(W: jax.Array, meta: dict) -> jax.Array:
 def canonical_dense_weight_inverse(
     W_canon: jax.Array, meta: dict, shape: tuple
 ) -> jax.Array:
-    """Inverse of :func:`canonical_dense_weight`."""
+    """Inverse of :func:`canonical_dense_weight` (back to the LEAF layout)."""
+    op_shape = meta.get("w_operand_shape", shape)
     perm = meta["w_free"] + meta["w_contract"]
-    inv_perm = [perm.index(d) for d in range(len(shape))]
-    permuted_shape = [shape[d] for d in perm]
-    return jnp.transpose(W_canon.reshape(permuted_shape), inv_perm)
+    inv_perm = [perm.index(d) for d in range(len(op_shape))]
+    permuted_shape = [op_shape[d] for d in perm]
+    W_op = jnp.transpose(W_canon.reshape(permuted_shape), inv_perm)
+    return invert_weight_views(W_op, meta.get("w_views", ()))
 
 
 def _conv_spatial_dims(meta: dict) -> tuple[int, tuple, int, int]:
@@ -63,6 +102,7 @@ def canonical_conv_weight(W: jax.Array, meta: dict) -> jax.Array:
     reordered XLA patches and the Pallas fused covariance kernel's block
     layout (contiguous ``[C, C]`` blocks per kernel-offset pair).
     """
+    W = apply_weight_views(W, meta.get("w_views", ()))
     dn = meta["dimension_numbers"]
     rhs_spec = dn.rhs_spec
     o_dim, i_dim = rhs_spec[0], rhs_spec[1]
@@ -75,15 +115,17 @@ def canonical_conv_weight(W: jax.Array, meta: dict) -> jax.Array:
 def canonical_conv_weight_inverse(
     W_canon: jax.Array, meta: dict, shape: tuple
 ) -> jax.Array:
-    """Inverse of :func:`canonical_conv_weight`."""
+    """Inverse of :func:`canonical_conv_weight` (back to the LEAF layout)."""
+    op_shape = meta.get("w_operand_shape", meta["w_shape"])
     dn = meta["dimension_numbers"]
     rhs_spec = dn.rhs_spec
     o_dim, i_dim = rhs_spec[0], rhs_spec[1]
     spatial = rhs_spec[2:]
     perm = (o_dim,) + tuple(spatial) + (i_dim,)
-    permuted_shape = [shape[d] for d in perm]
-    inv_perm = [perm.index(d) for d in range(len(shape))]
-    return jnp.transpose(W_canon.reshape(permuted_shape), inv_perm)
+    permuted_shape = [op_shape[d] for d in perm]
+    inv_perm = [perm.index(d) for d in range(len(op_shape))]
+    W_op = jnp.transpose(W_canon.reshape(permuted_shape), inv_perm)
+    return invert_weight_views(W_op, meta.get("w_views", ()))
 
 
 def extract_conv_patches(x: jax.Array, meta: dict) -> jax.Array:

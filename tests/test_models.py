@@ -156,3 +156,58 @@ def test_frozen_params_not_captured_as_constants():
         assert not captures, [str(w.message) for w in captures]
     finally:
         jax.config.update("jax_captured_constants_warn_bytes", old)
+
+
+def test_kfac_on_huggingface_flax_gpt2():
+    """KFAC on an UNMODIFIED HuggingFace FlaxGPT2 (Conv1D kernel transposes
+    handled by the collector's weight-view tracking)."""
+    transformers = pytest.importorskip("transformers")
+    from transformers import FlaxGPT2LMHeadModel, GPT2Config
+
+    import jax.tree_util as jtu
+    from curvlinops_tpu import CrossEntropyLoss, KFACLinearOperator
+    from curvlinops_tpu.utils.misc import FrozenModelFn
+
+    cfg = GPT2Config(n_layer=1, n_head=2, n_embd=16, vocab_size=64,
+                     n_positions=16)
+    model = FlaxGPT2LMHeadModel(cfg, seed=0)
+    params = model.params
+
+    def base_fn(p, x):
+        out = model(input_ids=x, params=p)
+        return out.logits.reshape(-1, out.logits.shape[-1])
+
+    flat, treedef = jtu.tree_flatten_with_path(params)
+
+    def is_kfac(path):
+        ks = "/".join(str(getattr(k, "key", k)) for k in path)
+        return "c_attn" in ks or "c_proj" in ks or "c_fc" in ks
+
+    kfac_flat = {jtu.keystr(p): l for p, l in flat if is_kfac(p)}
+    frozen_flat = {jtu.keystr(p): l for p, l in flat if not is_kfac(p)}
+
+    def raw_fn(frozen, kp, x):
+        leaves = [
+            kp[jtu.keystr(p)] if jtu.keystr(p) in kp else frozen[jtu.keystr(p)]
+            for p, _ in flat
+        ]
+        return base_fn(jtu.tree_unflatten(treedef, leaves), x)
+
+    kfac_fn = FrozenModelFn(raw_fn, frozen_flat)
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, 64, (2, 8)))
+    y = jnp.asarray(np.random.default_rng(1).integers(0, 64, (16,)))
+    kfac = KFACLinearOperator(
+        kfac_fn, CrossEntropyLoss("mean"), kfac_flat, [(tokens, y)],
+        fisher_type="mc", mc_samples=1, check_deterministic=False,
+    )
+    assert len(kfac.groups) == 8  # 4 Conv1D layers x (W, b)
+    # every weight carries the HF Conv1D transpose view
+    for g in kfac.groups:
+        if g.weight_path is not None:
+            assert any(v[0] == "transpose" for v in g.uses[0].meta["w_views"])
+    v = np.random.default_rng(2).standard_normal(kfac.shape[0]).astype(np.float32)
+    assert np.isfinite(kfac @ v).all()
+    P, PT = kfac.ops[0], kfac.ops[2]
+    np.testing.assert_allclose(
+        np.asarray(P @ (PT @ v)), v, rtol=1e-5, atol=1e-6
+    )
