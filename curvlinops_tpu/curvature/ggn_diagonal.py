@@ -68,6 +68,8 @@ class GGNDiagonalLinearOperator(DiagonalLinearOperator):
         batch_size_fn: Callable | None = None,
         num_data: int | None = None,
         check_deterministic: bool = True,
+        mesh=None,
+        data_axis: str = "data",
     ):
         batch_size_fn = batch_size_fn or default_batch_size
         if num_data is None:
@@ -87,10 +89,22 @@ class GGNDiagonalLinearOperator(DiagonalLinearOperator):
         jitted = jax.jit(outer)
         kernel = lambda *args: jitted(frozen, *args)  # noqa: E731
         base_key = jax.random.key(seed)
+        run_params = params
+        if mesh is not None:
+            from curvlinops_tpu.parallel.mesh import replicate
+
+            run_params = replicate(params, mesh)
         diag = None
         for idx, (X, y) in enumerate(data):
             c = {"sum": 1.0, "mean": batch_size_fn(X) / num_data}[loss_fn.reduction]
-            out = kernel(params, X, y, jnp.float32(c), jax.random.fold_in(base_key, idx))
+            if mesh is not None:
+                from curvlinops_tpu.parallel.mesh import shard_batch
+
+                X = shard_batch(X, mesh, data_axis)
+                y = shard_batch(y, mesh, data_axis)
+            out = kernel(
+                run_params, X, y, jnp.float32(c), jax.random.fold_in(base_key, idx)
+            )
             diag = out if diag is None else tree_add(diag, out)
         if diag is None:
             raise ValueError("Empty dataset.")

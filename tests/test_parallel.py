@@ -131,3 +131,22 @@ def test_ekfac_across_mesh(mesh):
             atol=1e-6,
             name=f"lambdas {gi}",
         )
+
+
+def test_ggn_diagonal_across_mesh(mesh):
+    from curvlinops_tpu import GGNDiagonalLinearOperator
+
+    case = make_case("mlp_ce_mean", seed=6)
+    X = jnp.concatenate([case["data"][0][0]] * 2)[:8]
+    y = jnp.concatenate([case["data"][0][1]] * 2)[:8]
+    data = [(X, y)]
+    single = GGNDiagonalLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data,
+        check_deterministic=False,
+    )
+    sharded = GGNDiagonalLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data, mesh=mesh,
+        check_deterministic=False,
+    )
+    for a, b in zip(jax.tree.leaves(single.diagonal), jax.tree.leaves(sharded.diagonal)):
+        report_nonclose(b, a, rtol=1e-5, atol=1e-7)
