@@ -80,18 +80,18 @@ def make_batch_ef_matmat(
             return flatten_prediction(loss_fn, model_fn(p, X))
 
         y_flat = flatten_target(loss_fn, y)
-        pred_flat = jax.lax.stop_gradient(f_flat(params))
-        G = row_grad(pred_flat, y_flat)  # [L, C] unreduced row gradients
+        # one linearized forward shared by all columns
+        pred_flat, jvp_fn = jax.linearize(f_flat, params)
+        vjp_fn = jax.linear_transpose(jvp_fn, params)
+        G = row_grad(jax.lax.stop_gradient(pred_flat), y_flat)  # [L, C] rows
 
         L, C = pred_flat.shape
         R = 1.0
         if loss_fn.reduction == "mean":
             R = float(L) if isinstance(loss_fn, CrossEntropyLoss) else float(L * C)
 
-        _, vjp_fn = jax.vjp(f_flat, params)
-
         def efvp(v: Any) -> Any:
-            _, jv = jax.jvp(f_flat, (params,), (v,))
+            jv = jvp_fn(v)
             coeff = jnp.einsum("lc,lc->l", G, jv)
             tangent = (coeff[:, None] * G) / R
             return vjp_fn(tangent)[0]

@@ -46,11 +46,16 @@ def make_batch_ggn_matmat(
         def f(p):
             return model_fn(p, X)
 
+        # linearize once: the forward pass and its residuals are shared by
+        # the JVP and its transpose across ALL matmat columns (vs. one
+        # forward per column with a jvp/vjp pair)
+        pred, jvp_fn = jax.linearize(f, params)
+        vjp_fn = jax.linear_transpose(jvp_fn, params)
+        loss_grad = jax.grad(lambda q: loss_fn(q, y))
+
         def ggnvp(v: Any) -> Any:
-            pred, jv = jax.jvp(f, (params,), (v,))
-            loss_grad = jax.grad(lambda q: loss_fn(q, y))
+            jv = jvp_fn(v)
             _, hjv = jax.jvp(loss_grad, (pred,), (jv,))
-            _, vjp_fn = jax.vjp(f, params)
             return vjp_fn(hjv)[0]
 
         GM = vmap_columns(ggnvp, M, max_vmap_columns)
@@ -80,7 +85,9 @@ def make_batch_ggn_mc_matmat(
         def f(p):
             return model_fn(p, X)
 
-        pred = f(params)
+        # one linearized forward shared by all columns
+        pred, jvp_fn = jax.linearize(f, params)
+        vjp_fn = jax.linear_transpose(jvp_fn, params)
         batch_size = jax.tree.leaves(pred)[0].shape[0]
         keys = jax.random.split(key, batch_size)
         # [N, V, *out] sampled grad-output vectors (already 1/sqrt(M)-scaled)
@@ -88,10 +95,8 @@ def make_batch_ggn_mc_matmat(
         # batch-dim reduction: the loss averages over the batch for 'mean'
         c_batch = float(batch_size) if loss_fn.reduction == "mean" else 1.0
 
-        _, vjp_fn = jax.vjp(f, params)
-
         def fishervp(v: Any) -> Any:
-            _, jv = jax.jvp(f, (params,), (v,))
+            jv = jvp_fn(v)
             # coeff[n, k] = <g_nk, (Jv)_n>
             coeff = jnp.einsum(
                 "nk...,n...->nk", G, jv.astype(G.dtype)

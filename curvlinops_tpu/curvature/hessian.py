@@ -55,10 +55,9 @@ def make_batch_hessian_matmat(
         def batch_loss(p: Any):
             return loss_fn(model_fn(p, X), y)
 
-        grad_fn = jax.grad(batch_loss)
-
-        def hvp(v: Any) -> Any:
-            return jax.jvp(grad_fn, (params,), (v,))[1]
+        # linearize the gradient once: forward+backward residuals are shared
+        # across ALL matmat columns (vs. one full fwd+bwd per column)
+        _, hvp = jax.linearize(jax.grad(batch_loss), params)
 
         HM = vmap_columns(hvp, M, max_vmap_columns)
         return tree_scale(c, HM)
