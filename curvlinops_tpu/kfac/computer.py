@@ -230,7 +230,6 @@ class KFACComputer:
         n_data = self.num_data
         use_pallas, pallas_interpret = self.use_pallas, self._pallas_interpret
         grad_output_fn = make_grad_output_fn(loss_fn, fisher_type, mc_samples)
-        use_index = {id(u): i for i, u in enumerate(traced.layers)}
 
         def batch_kernel(frozen, params, X, y, key, correction):
             delta0 = [
@@ -252,7 +251,7 @@ class KFACComputer:
                         if not group.joint
                         else (1.0 if u.bias_path is not None else 0.0)
                     )
-                    x_u = ios[use_index[id(u)]]
+                    x_u = ios[u.layer_id]
                     if (
                         use_pallas
                         and u.kind == "conv"
@@ -295,7 +294,7 @@ class KFACComputer:
             for gi, group in enumerate(groups):
                 parts = [
                     kmath.grad_to_sharing_format(
-                        glayers[use_index[id(u)]], u.kind, u.meta, kfac_approx
+                        glayers[u.layer_id], u.kind, u.meta, kfac_approx
                     )
                     for u in group.uses
                 ]

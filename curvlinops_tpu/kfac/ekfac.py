@@ -112,7 +112,6 @@ class EKFACComputer(KFACComputer):
         grad_output_fn = make_grad_output_fn(
             loss_fn, self.fisher_type, self.mc_samples
         )
-        use_index = {id(u): i for i, u in enumerate(traced.layers)}
 
         def corr_kernel(frozen, params, X, y, key, correction, Q_a, Q_g):
             delta0 = [
@@ -136,7 +135,7 @@ class EKFACComputer(KFACComputer):
             for gi, group in enumerate(groups):
                 g_parts = [
                     kmath.grad_to_sharing_format(
-                        glayers[use_index[id(u)]], u.kind, u.meta, kfac_approx
+                        glayers[u.layer_id], u.kind, u.meta, kfac_approx
                     )
                     for u in group.uses
                 ]
@@ -152,7 +151,7 @@ class EKFACComputer(KFACComputer):
                 else:
                     a_parts = [
                         kmath.input_to_sharing_format(
-                            ios[use_index[id(u)]],
+                            ios[u.layer_id],
                             u.kind,
                             u.meta,
                             kfac_approx,

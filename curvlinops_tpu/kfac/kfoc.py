@@ -105,7 +105,6 @@ class KFOCComputer(KFACComputer):
         X, y = next(iter(self.data))
         traced = self._get_traced(X)
         groups = self.groups
-        use_index = {id(u): i for i, u in enumerate(traced.layers)}
         grad_output_fn = make_grad_output_fn(
             self.loss_fn, self.fisher_type, self.mc_samples
         )
@@ -142,7 +141,7 @@ class KFOCComputer(KFACComputer):
             for gi, group in enumerate(groups):
                 g_parts = [
                     kmath.grad_to_sharing_format(
-                        glayers[use_index[id(u)]], u.kind, u.meta, kfac_approx
+                        glayers[u.layer_id], u.kind, u.meta, kfac_approx
                     )
                     for u in group.uses
                 ]
@@ -157,7 +156,7 @@ class KFOCComputer(KFACComputer):
                     continue
                 a_parts = [
                     kmath.input_to_sharing_format(
-                        ios[use_index[id(u)]],
+                        ios[u.layer_id],
                         u.kind,
                         u.meta,
                         kfac_approx,

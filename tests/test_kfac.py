@@ -544,3 +544,24 @@ def test_grouped_conv_patches_group_averaged():
     )
     v = np.random.default_rng(9).standard_normal(kfac.shape[0]).astype(np.float32)
     assert np.isfinite(kfac @ v).all()
+
+
+def test_kfac_ragged_batches_match_uniform():
+    """Distinct batch shapes retrace per shape and accumulate identically."""
+    case = _make_linear_case("mean", N=12, batches=2)  # two batches of 6
+    X = jnp.concatenate([b[0] for b in case["data"]])
+    y = jnp.concatenate([b[1] for b in case["data"]])
+    ragged = [(X[:8], y[:8]), (X[8:], y[8:])]  # 8 + 4
+    kw = dict(fisher_type=FisherType.TYPE2, check_deterministic=False)
+    uniform_op = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"], **kw
+    )
+    ragged_op = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], ragged, **kw
+    )
+    assert len(ragged_op._computer._kernel_cache) == 2  # one kernel per shape
+    v = np.random.default_rng(11).standard_normal(uniform_op.shape[0]).astype(
+        np.float32
+    )
+    report_nonclose(ragged_op @ v, uniform_op @ v, rtol=1e-4, atol=1e-6,
+                    name="ragged vs uniform")
