@@ -252,20 +252,21 @@ class KFACComputer:
                         else (1.0 if u.bias_path is not None else 0.0)
                     )
                     x_u = ios[u.layer_id]
+                    meta_u = traced.layers[u.layer_id].meta
                     if (
                         use_pallas
                         and u.kind == "conv"
                         and kfac_approx == KFACType.EXPAND
-                        and pallas_conv_cov_supported(x_u.shape, u.meta, bias_pad)
+                        and pallas_conv_cov_supported(x_u.shape, meta_u, bias_pad)
                     ):
                         # fused patch-extraction + covariance; the patch
                         # tensor never hits HBM
                         cov_u, S_u = pallas_conv_input_covariance(
-                            x_u, u.meta, bias_pad, interpret=pallas_interpret
+                            x_u, meta_u, bias_pad, interpret=pallas_interpret
                         )
                     else:
                         a = kmath.input_to_sharing_format(
-                            x_u, u.kind, u.meta, kfac_approx, bias_pad=bias_pad
+                            x_u, u.kind, meta_u, kfac_approx, bias_pad=bias_pad
                         )
                         cov_u = jnp.einsum("bsi,bsj->ij", a, a)
                         S_u = a.shape[1]
@@ -294,7 +295,10 @@ class KFACComputer:
             for gi, group in enumerate(groups):
                 parts = [
                     kmath.grad_to_sharing_format(
-                        glayers[u.layer_id], u.kind, u.meta, kfac_approx
+                        glayers[u.layer_id],
+                        u.kind,
+                        traced.layers[u.layer_id].meta,
+                        kfac_approx,
                     )
                     for u in group.uses
                 ]

@@ -135,7 +135,10 @@ class EKFACComputer(KFACComputer):
             for gi, group in enumerate(groups):
                 g_parts = [
                     kmath.grad_to_sharing_format(
-                        glayers[u.layer_id], u.kind, u.meta, kfac_approx
+                        glayers[u.layer_id],
+                        u.kind,
+                        traced.layers[u.layer_id].meta,
+                        kfac_approx,
                     )
                     for u in group.uses
                 ]
@@ -153,7 +156,7 @@ class EKFACComputer(KFACComputer):
                         kmath.input_to_sharing_format(
                             ios[u.layer_id],
                             u.kind,
-                            u.meta,
+                            traced.layers[u.layer_id].meta,
                             kfac_approx,
                             bias_pad=(
                                 None

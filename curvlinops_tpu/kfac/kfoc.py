@@ -141,7 +141,10 @@ class KFOCComputer(KFACComputer):
             for gi, group in enumerate(groups):
                 g_parts = [
                     kmath.grad_to_sharing_format(
-                        glayers[u.layer_id], u.kind, u.meta, kfac_approx
+                        glayers[u.layer_id],
+                        u.kind,
+                        traced.layers[u.layer_id].meta,
+                        kfac_approx,
                     )
                     for u in group.uses
                 ]
