@@ -565,3 +565,33 @@ def test_kfac_ragged_batches_match_uniform():
     )
     report_nonclose(ragged_op @ v, uniform_op @ v, rtol=1e-4, atol=1e-6,
                     name="ragged vs uniform")
+
+
+def test_kfac_tensor_valued_dense_weight():
+    """Einsum-style layers (weight with multiple free dims) canonicalize
+    correctly: one-datum TYPE2 KFAC equals the GGN block."""
+    from curvlinops_tpu import MSELoss
+
+    key = jax.random.key(50)
+    params = {
+        "W": 0.3 * jax.random.normal(key, (4, 3, 2)),  # d -> (h, k)
+        "V": 0.3 * jax.random.normal(jax.random.key(51), (6, 2)),
+    }
+
+    def model(p, x):  # x: [N, 4]
+        h = jnp.einsum("nd,dhk->nhk", x, p["W"])  # dot_general, 2 free dims
+        return jnp.tanh(h.reshape(x.shape[0], -1)) @ p["V"]
+
+    X = jax.random.normal(jax.random.key(52), (1, 4))
+    y = jax.random.normal(jax.random.key(53), (1, 2))
+    data = [(X, y)]
+    kfac = KFACLinearOperator(
+        model, MSELoss("mean"), params, data, fisher_type=FisherType.TYPE2,
+        check_deterministic=False,
+    )
+    w_group = [g for g in kfac.groups if "W" in str(g.weight_path)][0]
+    assert (w_group.d_in, w_group.d_out) == (4, 6)
+    dense = dense_ggn(model, MSELoss("mean"), params, data)
+    expected = blockdiag_projection(dense, params, kfac.groups)
+    report_nonclose(kfac.todense(), expected, rtol=1e-3, atol=1e-5,
+                    name="einsum dense kfac")
