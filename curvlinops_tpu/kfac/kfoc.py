@@ -215,6 +215,8 @@ class KFOCLinearOperator(KFACLinearOperator):
         seed: int = 2147483647,
         batch_size_fn=None,
         check_deterministic: bool = True,
+        mesh=None,
+        data_axis: str = "data",
     ):
         computer = KFOCComputer(
             model_fn,
@@ -229,6 +231,8 @@ class KFOCLinearOperator(KFACLinearOperator):
             seed=seed,
             batch_size_fn=batch_size_fn,
             check_deterministic=check_deterministic,
+            mesh=mesh,
+            data_axis=data_axis,
         )
         aaT, ggT, groups = computer.compute_kfoc()
         self._build_from_factors(params, groups, aaT, ggT)

@@ -595,3 +595,21 @@ def test_kfac_tensor_valued_dense_weight():
     expected = blockdiag_projection(dense, params, kfac.groups)
     report_nonclose(kfac.todense(), expected, rtol=1e-3, atol=1e-5,
                     name="einsum dense kfac")
+
+
+def test_collector_refuses_scan_wrapped_params():
+    """scan-wrapped parameter uses refuse with a clear message (round-2 gap)."""
+    from curvlinops_tpu.kfac.collector import TracedModel
+
+    params = {"W": jnp.ones((3, 4, 4))}  # stacked layer weights
+
+    def model(p, x):
+        def body(h, W):
+            return jnp.tanh(h @ W), None
+
+        h, _ = jax.lax.scan(body, x, p["W"])
+        return h
+
+    X = jnp.ones((2, 4))
+    with pytest.raises(ValueError, match="scan"):
+        TracedModel(model, params, X)
