@@ -3,8 +3,8 @@
 Counterpart of ``docs/examples/basic_usage/example_benchmark.py`` /
 ``benchmark_execute.py``: measures, per problem and operator,
 
-- matvec time (device-side: R chained matvecs inside ONE jitted fori_loop,
-  excluding host dispatch; ``min`` over repeats like the reference),
+- matvec time (device-side: the marginal rate between two data-dependent
+  async dispatch chains with a host-readback barrier; ``min`` over repeats),
 - precompute time for KFAC-like operators (factor build, eigendecomposition),
 - peak device memory when the backend reports it,
 

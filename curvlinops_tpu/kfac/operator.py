@@ -7,8 +7,9 @@ blocks); ``ToCanonical``/``FromCanonical`` are pure transpose/reshape/concat
 maps between the parameter pytree and that space — their adjoints come for
 free from ``jax.linear_transpose`` since they are orthonormal permutations.
 
-Matvecs after the one-time factor build touch no data: per block, two MXU
-matmuls via the Kronecker grid contraction (``ops/kronecker.py``).
+Matvecs after the one-time factor build touch no data: the whole chain
+(canonical converters + every Kronecker block) runs as ONE jitted
+factor-as-arguments program (``kfac/chain.py``).
 """
 
 from __future__ import annotations
