@@ -1,0 +1,21 @@
+"""The worked examples must keep running (doc-parity protection)."""
+
+import pathlib
+import runpy
+
+import pytest
+
+EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
+
+
+@pytest.mark.parametrize(
+    "script",
+    [
+        "01_matrix_vector_products.py",
+        "05_submatrices_and_estimation.py",
+    ],
+)
+def test_example_runs(script, capsys):
+    runpy.run_path(str(EXAMPLES / script), run_name="__main__")
+    out = capsys.readouterr().out
+    assert "True" in out or "exact" in out
