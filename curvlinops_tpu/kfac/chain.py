@@ -62,11 +62,123 @@ def _kron_matmat_T(factors: list[jax.Array], M: jax.Array) -> jax.Array:
     return _kron_matmat([S.T for S in factors], M)
 
 
+def _stacked_kron_matmat(factors: list[jax.Array], M: jax.Array) -> jax.Array:
+    """Batched Kronecker matmat: factors ``[L, n_i, n_i]``, ``M [L*prod n, K]``.
+
+    One vmapped contraction per factor — the whole scanned layer stack is a
+    single batched MXU einsum instead of ``L`` sequential dispatches.
+    """
+    L, K = factors[0].shape[0], M.shape[-1]
+    Ml = M.reshape(L, -1, K)
+    return jax.vmap(_kron_matmat)(list(factors), Ml).reshape(-1, K)
+
+
+def _stacked_kron_matmat_T(factors: list[jax.Array], M: jax.Array) -> jax.Array:
+    return _stacked_kron_matmat([jnp.swapaxes(S, -1, -2) for S in factors], M)
+
+
+def _batched_damped_cholesky_inverse(
+    A: jax.Array, damping: jax.Array, retry_double_precision: bool = True
+) -> jax.Array:
+    """Invert ``A[l] + damping[l] I`` for a factor stack ``[L, D, D]``.
+
+    Mirrors :func:`curvlinops_tpu.ops.kronecker.damped_cholesky_inverse`
+    (fp64 NaN-retry) but stays batched over the stack.
+
+    Raises:
+        RuntimeError: If the factorization fails even in double precision (or
+            the retry is disabled).
+    """
+    n = A.shape[-1]
+
+    def _inv(mat, d):
+        eye = jnp.eye(n, dtype=mat.dtype)
+        damped = mat + d[:, None, None] * eye
+        Lc = jnp.linalg.cholesky(damped)
+        inv = jax.vmap(lambda c: jax.scipy.linalg.cho_solve((c, True), eye))(Lc)
+        return inv, Lc
+
+    inv, Lc = _inv(A, jnp.asarray(damping, A.dtype))
+    if not bool(jnp.isnan(Lc).any()):
+        return inv
+    if not retry_double_precision or A.dtype == jnp.float64:
+        raise RuntimeError(
+            "Cholesky decomposition failed (NaNs in the factor) and double-"
+            "precision retry is disabled."
+        )
+    import warnings
+
+    warnings.warn(
+        f"Cholesky failed in {A.dtype}; retrying in float64.", stacklevel=2
+    )
+    with jax.enable_x64(True):
+        inv64, Lc64 = _inv(
+            jnp.asarray(A, jnp.float64), jnp.asarray(damping, jnp.float64)
+        )
+        if bool(jnp.isnan(Lc64).any()):
+            raise RuntimeError("Cholesky decomposition failed in float64.")
+        return jnp.asarray(inv64, A.dtype)
+
+
+def stacked_kron_inverse(
+    factors: list[jax.Array],
+    damping: float,
+    use_heuristic_damping: bool,
+    min_damping: float,
+    retry_double_precision: bool,
+) -> list[jax.Array]:
+    """Damped inverse of a stack of Kronecker blocks, batched over the stack.
+
+    Plain and Martens-Grosse heuristic damping semantics match
+    ``ops/kronecker.py`` (``kronecker.py:303-373``), with the per-block
+    ``pi = sqrt(mean-eig ratio)`` computed per stack slice.
+
+    Raises:
+        ValueError: For heuristic damping with more than two factors.
+        RuntimeError: On a negative mean eigenvalue under heuristic damping.
+    """
+    import math as _math
+
+    L = factors[0].shape[0]
+    if use_heuristic_damping and len(factors) > 2:
+        raise ValueError(
+            "Heuristic damping supports at most two factors, got "
+            f"{len(factors)}."
+        )
+    if use_heuristic_damping and len(factors) == 2:
+        S1, S2 = factors
+        m1 = jnp.mean(jnp.diagonal(S1, axis1=-2, axis2=-1), axis=-1)
+        m2 = jnp.mean(jnp.diagonal(S2, axis1=-2, axis2=-1), axis=-1)
+        if bool(jnp.any(m1 < 0)) or bool(jnp.any(m2 < 0)):
+            raise RuntimeError("Negative mean eigenvalue detected.")
+        pi = jnp.sqrt(m2 / m1)
+        sqrt_damping = _math.sqrt(damping)
+        dampings = (
+            jnp.maximum(sqrt_damping / pi, min_damping),
+            jnp.maximum(sqrt_damping * pi, min_damping),
+        )
+    elif use_heuristic_damping:
+        dampings = (jnp.full((L,), max(damping, min_damping)),)
+    else:
+        dampings = tuple(jnp.full((L,), damping) for _ in factors)
+
+    return [
+        _batched_damped_cholesky_inverse(S, d, retry_double_precision)
+        for S, d in zip(factors, dampings)
+    ]
+
+
 class KroneckerChainOperator(ChainLinearOperator):
     """``FromCanonical @ blockdiag(blocks) @ ToCanonical`` with jitted apply.
 
-    ``blocks_data[gi]`` is either ``("kron", [factors...])`` or
-    ``("eigh", (eigenvalues, [Q factors...]))``.
+    ``blocks_data[gi]`` is one of
+
+    - ``("kron", [factors...])`` — a Kronecker block,
+    - ``("eigh", (eigenvalues, [Q factors...]))`` — an eigendecomposed block,
+    - ``("skron", [stacked factors...])`` — ``L`` Kronecker blocks batched
+      over a leading stack axis (scan-stacked layers),
+    - ``("seigh", (eigenvalues [L, D], [stacked Q factors...]))`` — the
+      eigendecomposed stacked variant.
     """
 
     SELF_ADJOINT = True
@@ -78,19 +190,49 @@ class KroneckerChainOperator(ChainLinearOperator):
         to_canonical: Callable,
         from_canonical: Callable,
     ):
-        # introspectable chain (todense/algebra/etc. still work through it)
+        # introspectable chain (todense/algebra/etc. still work through it);
+        # stacked blocks unroll into per-slice operators here, but the hot
+        # _matmat path below stays batched
         blocks = []
         for gi in sorted(blocks_data):
             kind, data = blocks_data[gi]
             if kind == "kron":
                 blocks.append(KroneckerProductLinearOperator(*data))
-            else:
+            elif kind == "eigh":
                 lam, Q_factors = data
                 blocks.append(
                     EighDecomposedLinearOperator(
                         lam.reshape(-1), KroneckerProductLinearOperator(*Q_factors)
                     )
                 )
+            elif kind == "skron":
+                blocks.append(
+                    BlockDiagonalLinearOperator(
+                        [
+                            KroneckerProductLinearOperator(
+                                *[S[sl] for S in data]
+                            )
+                            for sl in range(data[0].shape[0])
+                        ]
+                    )
+                )
+            elif kind == "seigh":
+                lam, Q_factors = data
+                blocks.append(
+                    BlockDiagonalLinearOperator(
+                        [
+                            EighDecomposedLinearOperator(
+                                lam[sl].reshape(-1),
+                                KroneckerProductLinearOperator(
+                                    *[Q[sl] for Q in Q_factors]
+                                ),
+                            )
+                            for sl in range(lam.shape[0])
+                        ]
+                    )
+                )
+            else:
+                raise ValueError(f"Unknown block kind {kind!r}.")
         K = BlockDiagonalLinearOperator(blocks)
         param_spec = spec_of(params)
         canonical_spec = jax.eval_shape(to_canonical, param_spec)
@@ -116,6 +258,13 @@ class KroneckerChainOperator(ChainLinearOperator):
                     comp = cols[bi]  # [block_size, K]
                     if kinds[gi] == "kron":
                         out.append(_kron_matmat(block_arrays[gi], comp))
+                    elif kinds[gi] == "skron":
+                        out.append(_stacked_kron_matmat(block_arrays[gi], comp))
+                    elif kinds[gi] == "seigh":
+                        lam, Qs = block_arrays[gi]
+                        W = _stacked_kron_matmat_T(Qs, comp)
+                        W = lam.reshape(-1)[:, None] * W
+                        out.append(_stacked_kron_matmat(Qs, W))
                     else:
                         lam, Qs = block_arrays[gi]
                         W = _kron_matmat_T(Qs, comp)

@@ -25,9 +25,25 @@ Weight tying appears naturally as one parameter leaf consumed by several
 matched equations; each use becomes its own tap and the factor computation
 concatenates the IO along the weight-sharing axis (``groups.py:87-170``).
 
-Supported today: models built from pure jnp/lax ops (including flax ``apply``)
-without ``scan``/``while``/``cond`` wrapping parameter uses; nested ``pjit``,
-``custom_jvp/vjp`` and ``remat`` calls are inlined transparently.
+``lax.scan`` over layers — the idiomatic TPU transformer stack, with no
+reference counterpart (torch has no scan) — is supported natively: the scan
+body is analyzed recursively, and matched layers come in two flavors:
+
+- **stacked** (the weight enters the scan as a scanned-over ``xs`` input with
+  leading axis = scan length ``L``): every iteration applies a *different*
+  weight slice, so the leaf contributes ``L`` independent KFAC blocks. The
+  rebuilt scan threads per-iteration deltas in as extra ``xs`` and stacks the
+  layer inputs as extra ``ys``, so factors carry a leading ``L`` axis and all
+  downstream linear algebra (covariance einsums, eigh, Cholesky, Kronecker
+  matvecs) batches over it — one XLA dispatch for the whole layer stack.
+- **shared** (the weight enters as a scan ``const``): the same weight is
+  applied every iteration — weight sharing across scan steps, merged into the
+  KFAC weight-sharing axis exactly like sequence positions.
+
+Parameters entering the loop carry, reshaped stacked weights, and nested
+scans are refused (never silently miscomputed). ``while``/``cond`` wrapping
+parameter uses are likewise refused. Nested ``pjit``, ``custom_jvp/vjp`` and
+``remat`` calls are inlined transparently.
 """
 
 from __future__ import annotations
@@ -77,6 +93,23 @@ class _Op:
     out_keys: list
 
 
+@dataclass(frozen=True)
+class _Derived:
+    """Provenance of a value: which param leaf it views, through which ops.
+
+    ``scan`` is ``None`` at the top level, ``("stacked", L)`` for a per-
+    iteration slice of a scanned-over leaf, ``("shared", L)`` for a scan
+    const. For stacked entries ``views`` holds only the in-body view chain;
+    ``outer_views`` the (convert-only) chain applied to the full leaf before
+    the scan.
+    """
+
+    leaf: int
+    views: tuple = ()
+    scan: tuple | None = None
+    outer_views: tuple = ()
+
+
 @dataclass
 class LayerUse:
     """One matched use of a weight leaf in a dense/conv equation."""
@@ -89,6 +122,22 @@ class LayerUse:
     input_slot: int  # which operand of the op is the layer input
     meta: dict = field(default_factory=dict)
     bias_path: tuple | None = None
+    scan_op: int | None = None  # top-level op index of the enclosing scan
+
+
+@dataclass
+class _ScanInfo:
+    """A top-level scan op whose body contains matched layers."""
+
+    op_index: int
+    ir: "_FlatIR"
+    num_consts: int
+    num_carry: int
+    length: int
+    reverse: bool
+    unroll: int
+    layer_ids: list = field(default_factory=list)
+    tap_by_op: dict = field(default_factory=dict)
 
 
 def _path_str(path) -> str:
@@ -152,7 +201,6 @@ class _FlatIR:
                 sub_frame = next(self._frame_counter)
                 # connect: sub invars alias outer atoms via no-op copy ops
                 outer_atoms = [self._atom(frame, v) for v in eqn.invars]
-                n_consts = len(getattr(sub_jaxpr, "constvars", []))
                 for cv, cval in zip(sub_jaxpr.constvars, sub_consts):
                     self._const_env[(sub_frame, cv)] = cval
                 for sv, atom in zip(sub_jaxpr.invars, outer_atoms):
@@ -256,7 +304,7 @@ class TracedModel:
 
         param_leaves_with_paths, params_def = tree_util.tree_flatten_with_path(params)
         self.param_paths = [p for p, _ in param_leaves_with_paths]
-        param_shapes = [jnp.shape(leaf) for _, leaf in param_leaves_with_paths]
+        self._param_shapes = [jnp.shape(leaf) for _, leaf in param_leaves_with_paths]
         n_params = len(self.param_paths)
         self._params_def = params_def
         self._n_frozen = n_frozen
@@ -270,151 +318,28 @@ class TracedModel:
             jax.eval_shape(raw, frozen, params, X_example)
         )
 
-        # provenance: var key -> (param leaf id, view chain). The view chain
-        # records the transparent ops between the leaf and the value (e.g.
-        # HuggingFace's Conv1D transposes its kernel before the matmul), so
-        # the canonical converters can replay/invert them.
-        derived: dict[Any, tuple] = {}
+        # provenance: var key -> _Derived. The view chain records the
+        # transparent ops between the leaf and the value (e.g. HuggingFace's
+        # Conv1D transposes its kernel before the matmul), so the canonical
+        # converters can replay/invert them.
+        derived: dict[Any, _Derived] = {}
         for i, key in enumerate(ir.invar_keys[n_frozen : n_frozen + n_params]):
-            derived[key] = (i, ())
+            derived[key] = _Derived(i)
 
-        # first pass: propagate transparent views & collect matches
-        layers: list[LayerUse] = []
-        produced_by_layer: dict[Any, int] = {}  # var key -> layer_id (pre-bias out)
-        unmatched: dict[int, list[str]] = {}
-        kind_counter: dict[str, int] = {"dense": 0, "conv": 0}
+        self.layers: list[LayerUse] = []
+        self._scan_infos: dict[int, _ScanInfo] = {}
+        self._unmatched: dict[int, list[str]] = {}
+        self._kind_counter: dict[str, int] = {"dense": 0, "conv": 0}
 
-        for op_index, op in enumerate(ir.ops):
-            in_keys = [a[1] if a[0] == "var" else None for a in op.in_atoms]
-            entries = [derived.get(k) for k in in_keys]
-            leaf_ids = [e[0] if e is not None else None for e in entries]
-            prim_name = op.prim.name if op.prim is not None else "alias"
-
-            if op.prim is None:  # alias
-                if entries[0] is not None:
-                    derived[op.out_keys[0]] = entries[0]
-                if in_keys[0] in produced_by_layer:
-                    produced_by_layer[op.out_keys[0]] = produced_by_layer[in_keys[0]]
-                continue
-
-            if prim_name in _TRANSPARENT:
-                if entries[0] is not None:
-                    lid0, views = entries[0]
-                    in_shape = self._atom_shape(op.in_atoms[0], closed)
-                    view = _view_descriptor(prim_name, op.params, in_shape)
-                    derived[op.out_keys[0]] = (lid0, views + (view,))
-                if in_keys[0] in produced_by_layer:
-                    produced_by_layer[op.out_keys[0]] = produced_by_layer[in_keys[0]]
-                continue
-
-            if prim_name == "dot_general":
-                param_slots = [s for s, lid in enumerate(leaf_ids) if lid is not None]
-                if len(param_slots) == 1:
-                    w_slot = param_slots[0]
-                    leaf_id, w_views = entries[w_slot]
-                    w_shape = self._atom_shape(op.in_atoms[w_slot], closed)
-                    x_slot = 1 - w_slot
-                    x_aval_shape = self._atom_shape(op.in_atoms[x_slot], closed)
-                    meta = (
-                        _canonicalize_dense(op, w_slot, w_shape, x_aval_shape)
-                        if _views_invertible(w_views)
-                        else None
-                    )
-                    if meta is not None:
-                        meta["w_views"] = w_views
-                        meta["w_leaf_shape"] = tuple(param_shapes[leaf_id])
-                        meta["w_operand_shape"] = tuple(w_shape)
-                        lid = len(layers)
-                        name = f"Dense{kind_counter['dense']}"
-                        kind_counter["dense"] += 1
-                        layers.append(
-                            LayerUse(
-                                layer_id=lid,
-                                name=name,
-                                kind="dense",
-                                weight_path=self.param_paths[leaf_id],
-                                op_index=op_index,
-                                input_slot=x_slot,
-                                meta=meta,
-                            )
-                        )
-                        produced_by_layer[op.out_keys[0]] = lid
-                        continue
-                # fall through: unmatched parameter use
-                for lid_ in set(x for x in leaf_ids if x is not None):
-                    unmatched.setdefault(lid_, []).append(prim_name)
-                continue
-
-            if prim_name == "conv_general_dilated":
-                if (
-                    leaf_ids[1] is not None
-                    and leaf_ids[0] is None
-                    and _views_invertible(entries[1][1])
-                ):
-                    leaf_id, w_views = entries[1]
-                    w_shape = self._atom_shape(op.in_atoms[1], closed)
-                    lid = len(layers)
-                    name = f"Conv{kind_counter['conv']}"
-                    kind_counter["conv"] += 1
-                    meta = _conv_meta(op, w_shape)
-                    meta["w_views"] = w_views
-                    meta["w_leaf_shape"] = tuple(param_shapes[leaf_id])
-                    layers.append(
-                        LayerUse(
-                            layer_id=lid,
-                            name=name,
-                            kind="conv",
-                            weight_path=self.param_paths[leaf_id],
-                            op_index=op_index,
-                            input_slot=0,
-                            meta=meta,
-                        )
-                    )
-                    produced_by_layer[op.out_keys[0]] = lid
-                    continue
-                for lid_ in set(x for x in leaf_ids if x is not None):
-                    unmatched.setdefault(lid_, []).append(prim_name)
-                continue
-
-            if prim_name in ("add", "add_any"):
-                # bias pattern: layer_output + broadcast(bias leaf)
-                bias_slots = [s for s, lid in enumerate(leaf_ids) if lid is not None]
-                other_slots = [s for s in (0, 1) if s not in bias_slots]
-                if (
-                    len(bias_slots) == 1
-                    and other_slots
-                    and in_keys[other_slots[0]] in produced_by_layer
-                ):
-                    lid = produced_by_layer[in_keys[other_slots[0]]]
-                    layer = layers[lid]
-                    bias_id = leaf_ids[bias_slots[0]]
-                    bias_path = self.param_paths[bias_id]
-                    if layer.bias_path is not None and layer.bias_path != bias_path:
-                        raise ValueError(
-                            f"Layer {layer.name} has conflicting biases "
-                            f"({_path_str(layer.bias_path)} vs {_path_str(bias_path)})."
-                        )
-                    layer.bias_path = bias_path
-                    # bias-add output still carries the layer identity
-                    produced_by_layer[op.out_keys[0]] = lid
-                    continue
-                for lid_ in set(x for x in leaf_ids if x is not None):
-                    unmatched.setdefault(lid_, []).append(prim_name)
-                continue
-
-            # any other op consuming a param-derived value is unsupported
-            for lid_ in set(x for x in leaf_ids if x is not None):
-                unmatched.setdefault(lid_, []).append(prim_name)
-
-        self.layers = layers
+        self._match_ir(ir, derived, in_scan=None)
 
         # completeness verification (collector.py:180-277 analogue)
-        used_leaves = {tuple(u.weight_path) for u in layers} | {
-            tuple(u.bias_path) for u in layers if u.bias_path is not None
+        used_leaves = {tuple(u.weight_path) for u in self.layers} | {
+            tuple(u.bias_path) for u in self.layers if u.bias_path is not None
         }
         problems = []
         for i, path in enumerate(self.param_paths):
-            msgs = unmatched.get(i, [])
+            msgs = self._unmatched.get(i, [])
             if msgs:
                 problems.append(
                     f"  {_path_str(path)}: used by unsupported primitive(s) "
@@ -433,7 +358,232 @@ class TracedModel:
                 "parameters to KFAC and close over the rest in model_fn."
             )
 
-    def _atom_shape(self, atom, closed):
+        self._top_tap_by_op = {
+            u.op_index: u for u in self.layers if u.scan_op is None
+        }
+
+    # ------------------------------------------------------------------ #
+    # matching
+    # ------------------------------------------------------------------ #
+    def _flag(self, leaf_ids, msg: str) -> None:
+        for lid in set(x for x in leaf_ids if x is not None):
+            self._unmatched.setdefault(lid, []).append(msg)
+
+    def _match_ir(
+        self, ir: _FlatIR, derived: dict, in_scan: _ScanInfo | None
+    ) -> dict:
+        """Run the matching pass over one IR; returns the final derived map."""
+        produced_by_layer: dict[Any, int] = {}  # var key -> layer_id
+
+        for op_index, op in enumerate(ir.ops):
+            in_keys = [a[1] if a[0] == "var" else None for a in op.in_atoms]
+            entries = [derived.get(k) for k in in_keys]
+            leaf_ids = [e.leaf if e is not None else None for e in entries]
+            prim_name = op.prim.name if op.prim is not None else "alias"
+
+            if op.prim is None:  # alias
+                if entries[0] is not None:
+                    derived[op.out_keys[0]] = entries[0]
+                if in_keys[0] in produced_by_layer:
+                    produced_by_layer[op.out_keys[0]] = produced_by_layer[in_keys[0]]
+                continue
+
+            if prim_name in _TRANSPARENT:
+                if entries[0] is not None:
+                    e = entries[0]
+                    in_shape = self._atom_shape(op.in_atoms[0])
+                    view = _view_descriptor(prim_name, op.params, in_shape)
+                    derived[op.out_keys[0]] = _Derived(
+                        e.leaf, e.views + (view,), e.scan, e.outer_views
+                    )
+                if in_keys[0] in produced_by_layer:
+                    produced_by_layer[op.out_keys[0]] = produced_by_layer[in_keys[0]]
+                continue
+
+            if prim_name == "scan" and any(e is not None for e in entries):
+                if in_scan is not None:
+                    self._flag(
+                        leaf_ids, "scan (nested scans around parameters)"
+                    )
+                    continue
+                self._analyze_scan(op_index, op, entries, leaf_ids)
+                continue
+
+            if prim_name == "dot_general":
+                param_slots = [s for s, lid in enumerate(leaf_ids) if lid is not None]
+                if len(param_slots) == 1:
+                    w_slot = param_slots[0]
+                    e = entries[w_slot]
+                    w_shape = self._atom_shape(op.in_atoms[w_slot])
+                    x_slot = 1 - w_slot
+                    x_aval_shape = self._atom_shape(op.in_atoms[x_slot])
+                    meta = (
+                        _canonicalize_dense(op, w_slot, w_shape, x_aval_shape)
+                        if _views_invertible(e.views)
+                        else None
+                    )
+                    if meta is not None:
+                        meta["w_views"] = e.views
+                        meta["w_views_outer"] = e.outer_views
+                        meta["w_leaf_shape"] = tuple(self._param_shapes[e.leaf])
+                        meta["w_operand_shape"] = tuple(w_shape)
+                        if e.scan is not None:
+                            meta["scan"] = {"kind": e.scan[0], "length": e.scan[1]}
+                        self._add_layer(
+                            "dense", e.leaf, op_index, x_slot, meta, in_scan
+                        )
+                        produced_by_layer[op.out_keys[0]] = self.layers[-1].layer_id
+                        continue
+                self._flag(leaf_ids, prim_name)
+                continue
+
+            if prim_name == "conv_general_dilated":
+                if (
+                    leaf_ids[1] is not None
+                    and leaf_ids[0] is None
+                    and _views_invertible(entries[1].views)
+                ):
+                    e = entries[1]
+                    w_shape = self._atom_shape(op.in_atoms[1])
+                    meta = _conv_meta(op, w_shape)
+                    meta["w_views"] = e.views
+                    meta["w_views_outer"] = e.outer_views
+                    meta["w_leaf_shape"] = tuple(self._param_shapes[e.leaf])
+                    if e.scan is not None:
+                        meta["scan"] = {"kind": e.scan[0], "length": e.scan[1]}
+                    self._add_layer("conv", e.leaf, op_index, 0, meta, in_scan)
+                    produced_by_layer[op.out_keys[0]] = self.layers[-1].layer_id
+                    continue
+                self._flag(leaf_ids, prim_name)
+                continue
+
+            if prim_name in ("add", "add_any"):
+                # bias pattern: layer_output + broadcast(bias leaf)
+                bias_slots = [s for s, lid in enumerate(leaf_ids) if lid is not None]
+                other_slots = [s for s in (0, 1) if s not in bias_slots]
+                if (
+                    len(bias_slots) == 1
+                    and other_slots
+                    and in_keys[other_slots[0]] in produced_by_layer
+                ):
+                    lid = produced_by_layer[in_keys[other_slots[0]]]
+                    layer = self.layers[lid]
+                    e = entries[bias_slots[0]]
+                    wscan = layer.meta.get("scan")
+                    bscan = e.scan
+                    compatible = (wscan is None and bscan is None) or (
+                        wscan is not None
+                        and bscan is not None
+                        and wscan["kind"] == bscan[0]
+                        and wscan["length"] == bscan[1]
+                    )
+                    if not compatible:
+                        self._flag(
+                            [e.leaf],
+                            "add (bias scan mode mismatches its layer's "
+                            "weight: stacked weights need stacked biases and "
+                            "vice versa)",
+                        )
+                        continue
+                    bias_path = self.param_paths[e.leaf]
+                    if layer.bias_path is not None and layer.bias_path != bias_path:
+                        raise ValueError(
+                            f"Layer {layer.name} has conflicting biases "
+                            f"({_path_str(layer.bias_path)} vs {_path_str(bias_path)})."
+                        )
+                    layer.bias_path = bias_path
+                    # bias-add output still carries the layer identity
+                    produced_by_layer[op.out_keys[0]] = lid
+                    continue
+                self._flag(leaf_ids, prim_name)
+                continue
+
+            # any other op consuming a param-derived value is unsupported
+            self._flag(leaf_ids, prim_name)
+
+        return derived
+
+    def _add_layer(
+        self,
+        kind: str,
+        leaf: int,
+        op_index: int,
+        input_slot: int,
+        meta: dict,
+        in_scan: _ScanInfo | None,
+    ) -> None:
+        lid = len(self.layers)
+        name = f"{'Dense' if kind == 'dense' else 'Conv'}{self._kind_counter[kind]}"
+        self._kind_counter[kind] += 1
+        use = LayerUse(
+            layer_id=lid,
+            name=name,
+            kind=kind,
+            weight_path=self.param_paths[leaf],
+            op_index=op_index,
+            input_slot=input_slot,
+            meta=meta,
+            scan_op=None if in_scan is None else in_scan.op_index,
+        )
+        self.layers.append(use)
+        if in_scan is not None:
+            in_scan.layer_ids.append(lid)
+            in_scan.tap_by_op[op_index] = use
+
+    def _analyze_scan(self, op_index: int, op: _Op, entries, leaf_ids) -> None:
+        """Recursively match layers inside a top-level scan body."""
+        num_consts = op.params["num_consts"]
+        num_carry = op.params["num_carry"]
+        length = op.params["length"]
+        body_ir = _FlatIR(op.params["jaxpr"])
+        info = _ScanInfo(
+            op_index=op_index,
+            ir=body_ir,
+            num_consts=num_consts,
+            num_carry=num_carry,
+            length=length,
+            reverse=op.params.get("reverse", False),
+            unroll=op.params.get("unroll", 1),
+        )
+
+        body_derived: dict[Any, _Derived] = {}
+        for pos, e in enumerate(entries):
+            if e is None:
+                continue
+            key = body_ir.invar_keys[pos]
+            if pos < num_consts:
+                body_derived[key] = _Derived(
+                    e.leaf, e.views, ("shared", length), e.outer_views
+                )
+            elif pos < num_consts + num_carry:
+                self._flag([e.leaf], "scan (parameter enters the loop carry)")
+            else:
+                if all(v[0] == "convert" for v in e.views):
+                    body_derived[key] = _Derived(
+                        e.leaf, (), ("stacked", length), e.views
+                    )
+                else:
+                    self._flag(
+                        [e.leaf],
+                        "scan (stacked parameter is reshaped/transposed "
+                        "before the scan; pass the raw stacked leaf)",
+                    )
+
+        final = self._match_ir(body_ir, body_derived, in_scan=info)
+        # refuse parameters that flow out of the scan — the outer uses would
+        # not be tracked, risking silent miscomputation
+        out_leaves = [
+            final[a[1]].leaf
+            for a in body_ir.out_atoms
+            if a[0] == "var" and a[1] in final
+        ]
+        if out_leaves:
+            self._flag(out_leaves, "scan (parameter flows out of the scan)")
+
+        if info.layer_ids:
+            self._scan_infos[op_index] = info
+
+    def _atom_shape(self, atom):
         if atom[0] == "lit":
             return jnp.shape(atom[1])
         frame, var = atom[1]
@@ -443,13 +593,24 @@ class TracedModel:
     # tapped re-interpretation
     # ------------------------------------------------------------------ #
     def delta_specs(self, params: Any, X: Any) -> list[jax.ShapeDtypeStruct]:
-        """Shapes of the per-layer pre-bias outputs (for the delta inputs)."""
+        """Shapes of the per-layer pre-bias outputs (for the delta inputs).
+
+        Scan layers get a leading scan-length axis: their delta is scanned in
+        as an extra ``xs`` input, one slice per iteration.
+        """
         ir_shapes = []
         for use in self.layers:
-            op = self._ir.ops[use.op_index]
-            frame_var = op.out_keys[0]
-            aval = frame_var[1].aval
-            ir_shapes.append(jax.ShapeDtypeStruct(tuple(aval.shape), aval.dtype))
+            if use.scan_op is None:
+                aval = self._ir.ops[use.op_index].out_keys[0][1].aval
+                ir_shapes.append(jax.ShapeDtypeStruct(tuple(aval.shape), aval.dtype))
+            else:
+                info = self._scan_infos[use.scan_op]
+                aval = info.ir.ops[use.op_index].out_keys[0][1].aval
+                ir_shapes.append(
+                    jax.ShapeDtypeStruct(
+                        (info.length, *aval.shape), aval.dtype
+                    )
+                )
         return ir_shapes
 
     def apply_with_io(
@@ -457,29 +618,49 @@ class TracedModel:
     ) -> tuple[Any, list[jax.Array]]:
         """Run the model; return ``(prediction, layer_inputs)``.
 
-        ``deltas[i]`` is added to layer ``i``'s pre-bias output, so
-        differentiating w.r.t. ``deltas`` yields the layer-output gradients.
-        ``frozen`` defaults to the pytree captured at trace time; kernels
-        should pass it explicitly so it enters their jit as an argument.
+        ``deltas[i]`` is added to layer ``i``'s pre-bias output (scanned in
+        per-iteration for scan layers), so differentiating w.r.t. ``deltas``
+        yields the layer-output gradients. ``frozen`` defaults to the pytree
+        captured at trace time; kernels should pass it explicitly so it
+        enters their jit as an argument.
         """
-        ir = self._ir
-        env: dict = ir.const_env
         frozen = self._frozen if frozen is None else frozen
-
         args_flat = (
             tree_util.tree_leaves(frozen)
             + tree_util.tree_leaves(params)
             + tree_util.tree_leaves(X)
         )
-        if len(args_flat) != len(ir.invar_keys):
+        if len(args_flat) != len(self._ir.invar_keys):
             raise ValueError(
-                f"Expected {len(ir.invar_keys)} flat inputs, got {len(args_flat)}."
+                f"Expected {len(self._ir.invar_keys)} flat inputs, "
+                f"got {len(args_flat)}."
             )
-        for key, val in zip(ir.invar_keys, args_flat):
-            env[key] = val
+        delta_by_layer = {u.layer_id: deltas[u.layer_id] for u in self.layers}
+        tap_store: dict[int, jax.Array] = {}
+        out_vals = self._run_ir(
+            self._ir,
+            args_flat,
+            self._top_tap_by_op,
+            delta_by_layer,
+            tap_store,
+            self._scan_infos,
+        )
+        pred = tree_util.tree_unflatten(self._out_tree, out_vals)
+        return pred, [tap_store[u.layer_id] for u in self.layers]
 
-        tap_inputs: dict[int, jax.Array] = {}
-        tap_by_op: dict[int, LayerUse] = {u.op_index: u for u in self.layers}
+    def _run_ir(
+        self,
+        ir: _FlatIR,
+        in_vals: list,
+        tap_by_op: dict,
+        delta_by_layer: dict,
+        tap_store: dict,
+        scan_infos: dict | None,
+    ) -> list:
+        """Interpret one IR, adding deltas at taps and rebuilding scans."""
+        env: dict = ir.const_env
+        for key, val in zip(ir.invar_keys, in_vals):
+            env[key] = val
 
         def read(atom):
             return atom[1] if atom[0] == "lit" else env[atom[1]]
@@ -489,15 +670,56 @@ class TracedModel:
             if op.prim is None:  # alias
                 env[op.out_keys[0]] = vals[0]
                 continue
+            if scan_infos and op_index in scan_infos:
+                info = scan_infos[op_index]
+                consts = vals[: info.num_consts]
+                carry0 = vals[info.num_consts : info.num_consts + info.num_carry]
+                xs = vals[info.num_consts + info.num_carry :]
+                n_xs = len(xs)
+                layer_deltas = tuple(
+                    delta_by_layer[lid] for lid in info.layer_ids
+                )
+
+                def body(carry, scanned, _info=info, _consts=consts, _n_xs=n_xs):
+                    x_sl = scanned[:_n_xs]
+                    d_sl = scanned[_n_xs:]
+                    inner_deltas = dict(zip(_info.layer_ids, d_sl))
+                    inner_taps: dict = {}
+                    outs = self._run_ir(
+                        _info.ir,
+                        list(_consts) + list(carry) + list(x_sl),
+                        _info.tap_by_op,
+                        inner_deltas,
+                        inner_taps,
+                        None,
+                    )
+                    new_carry = tuple(outs[: _info.num_carry])
+                    ys = tuple(outs[_info.num_carry :])
+                    taps = tuple(inner_taps[lid] for lid in _info.layer_ids)
+                    return new_carry, (ys, taps)
+
+                final_carry, (ys, taps) = jax.lax.scan(
+                    body,
+                    tuple(carry0),
+                    tuple(xs) + layer_deltas,
+                    length=info.length,
+                    reverse=info.reverse,
+                    unroll=info.unroll,
+                )
+                outs = list(final_carry) + list(ys)
+                for k, o in zip(op.out_keys, outs):
+                    env[k] = o
+                for lid, tap in zip(info.layer_ids, taps):
+                    tap_store[lid] = tap
+                continue
+
             ans = op.prim.bind(*vals, **op.params)
             outs = ans if op.prim.multiple_results else [ans]
             if op_index in tap_by_op:
                 use = tap_by_op[op_index]
-                tap_inputs[use.layer_id] = vals[use.input_slot]
-                outs = [outs[0] + deltas[use.layer_id]] + list(outs[1:])
+                tap_store[use.layer_id] = vals[use.input_slot]
+                outs = [outs[0] + delta_by_layer[use.layer_id]] + list(outs[1:])
             for k, o in zip(op.out_keys, outs):
                 env[k] = o
 
-        out_vals = [read(a) for a in ir.out_atoms]
-        pred = tree_util.tree_unflatten(self._out_tree, out_vals)
-        return pred, [tap_inputs[u.layer_id] for u in self.layers]
+        return [read(a) for a in ir.out_atoms]

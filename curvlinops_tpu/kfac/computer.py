@@ -40,7 +40,13 @@ from curvlinops_tpu.utils.flatten import tree_add
 
 @dataclass
 class ParamGroup:
-    """A canonical-space block: a weight (with uses), a bias, or both."""
+    """A canonical-space block: a weight (with uses), a bias, or both.
+
+    ``stack > 0`` marks a scan-stacked group: the leaf holds ``stack``
+    independent per-iteration weights, its factors carry a leading ``stack``
+    axis, and the canonical block is ``stack`` Kronecker blocks batched into
+    one set of arrays (``[L, d_out, d_out]`` / ``[L, d_in, d_in]``).
+    """
 
     name: str
     weight_path: tuple | None
@@ -49,6 +55,7 @@ class ParamGroup:
     joint: bool  # weight and bias share one block (bias column appended)
     d_in: int  # canonical input dim (incl. bias column when joint)
     d_out: int
+    stack: int = 0  # scan length for stacked groups, else 0
 
     @property
     def key(self) -> tuple:
@@ -79,6 +86,15 @@ def build_groups(
     for key in order:
         uses = by_weight[key]
         first = uses[0]
+        stacked_uses = [
+            u for u in uses if u.meta.get("scan", {}).get("kind") == "stacked"
+        ]
+        if stacked_uses and len(uses) > 1:
+            raise ValueError(
+                f"Weight {key} is scan-stacked but has {len(uses)} uses; "
+                "tying a stacked leaf with other layers is not supported."
+            )
+        stack = first.meta["scan"]["length"] if stacked_uses else 0
         d_in = (
             first.meta["d_in"]
             if first.kind == "dense"
@@ -95,13 +111,16 @@ def build_groups(
 
         if separate_weight_and_bias:
             groups.append(
-                ParamGroup(name, key, None, uses, joint=False, d_in=d_in, d_out=d_out)
+                ParamGroup(
+                    name, key, None, uses, joint=False,
+                    d_in=d_in, d_out=d_out, stack=stack,
+                )
             )
             for bp in sorted(bias_paths):
                 groups.append(
                     ParamGroup(
                         name + ".bias", None, bp, uses, joint=False,
-                        d_in=1, d_out=d_out,
+                        d_in=1, d_out=d_out, stack=stack,
                     )
                 )
         else:
@@ -115,7 +134,7 @@ def build_groups(
             groups.append(
                 ParamGroup(
                     name, key, bias_path, uses, joint=joint,
-                    d_in=d_in + (1 if joint else 0), d_out=d_out,
+                    d_in=d_in + (1 if joint else 0), d_out=d_out, stack=stack,
                 )
             )
     return groups
@@ -256,6 +275,7 @@ class KFACComputer:
                     if (
                         use_pallas
                         and u.kind == "conv"
+                        and "scan" not in meta_u
                         and kfac_approx == KFACType.EXPAND
                         and pallas_conv_cov_supported(x_u.shape, meta_u, bias_pad)
                     ):
@@ -268,8 +288,12 @@ class KFACComputer:
                         a = kmath.input_to_sharing_format(
                             x_u, u.kind, meta_u, kfac_approx, bias_pad=bias_pad
                         )
-                        cov_u = jnp.einsum("bsi,bsj->ij", a, a)
-                        S_u = a.shape[1]
+                        cov_u = (
+                            jnp.einsum("lbsi,lbsj->lij", a, a)
+                            if a.ndim == 4
+                            else jnp.einsum("bsi,bsj->ij", a, a)
+                        )
+                        S_u = a.shape[-2]
                     cov = cov_u if cov is None else cov + cov_u
                     S_total += S_u
                 aaT[gi] = cov / (n_data * S_total)
@@ -368,7 +392,12 @@ class KFACComputer:
         if self.fisher_type == FisherType.FORWARD_ONLY:
             # identity gradient covariance regardless of data (FOOF)
             for gi, group in enumerate(self.groups):
-                ggT_acc[gi] = jnp.eye(group.d_out, dtype=self._param_dtype())
+                eye = jnp.eye(group.d_out, dtype=self._param_dtype())
+                ggT_acc[gi] = (
+                    jnp.broadcast_to(eye, (group.stack, *eye.shape))
+                    if group.stack
+                    else eye
+                )
 
         return aaT_acc, ggT_acc, self.groups
 

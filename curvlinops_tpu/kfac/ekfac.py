@@ -207,7 +207,11 @@ class EKFACLinearOperator(KFACLinearOperator):
                 if gi in self._Q_a
                 else [self._Q_g[gi]]
             )
-            blocks_data[gi] = ("eigh", (self._lambdas[gi].reshape(-1), Qs))
+            lam = self._lambdas[gi]
+            if group.stack:
+                blocks_data[gi] = ("seigh", (lam.reshape(group.stack, -1), Qs))
+            else:
+                blocks_data[gi] = ("eigh", (lam.reshape(-1), Qs))
         to_canonical, from_canonical = make_to_canonical(self._groups, self._params)
         KroneckerChainOperator.__init__(
             self, self._params, blocks_data, to_canonical, from_canonical
@@ -222,8 +226,8 @@ class EKFACLinearOperator(KFACLinearOperator):
         """Damped inverse ``1/(lambda+delta)`` in the Kronecker eigenbasis."""
         blocks_data = {}
         for gi in sorted(self._blocks_data):
-            lam, Qs = self._blocks_data[gi][1]
-            blocks_data[gi] = ("eigh", (1.0 / (lam + damping), Qs))
+            kind, (lam, Qs) = self._blocks_data[gi]
+            blocks_data[gi] = (kind, (1.0 / (lam + damping), Qs))
         return KroneckerChainOperator(
             self._params, blocks_data, self._to_canonical, self._from_canonical
         )

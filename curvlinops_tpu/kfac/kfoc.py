@@ -94,6 +94,11 @@ class KFOCComputer(KFACComputer):
             )
         if KFACType(self.kfac_approx) != KFACType.EXPAND:
             raise ValueError("KFOC supports KFACType.EXPAND only.")
+        if any(group.stack for group in self.groups):
+            raise ValueError(
+                "KFOC does not support scan-stacked layers; unroll the scan "
+                "or use KFAC/EKFAC."
+            )
         batches = list(self.data)
         if len(batches) != 1:
             raise ValueError(

@@ -84,6 +84,30 @@ def canonical_dense_weight_inverse(
     return invert_weight_views(W_op, meta.get("w_views", ()))
 
 
+def canonical_stacked_weight(W: jax.Array, kind: str, meta: dict) -> jax.Array:
+    """Canonicalize a scan-stacked weight leaf to ``[L, d_out, d_in]``.
+
+    Outer (pre-scan) views are convert-only by the collector's contract; the
+    per-slice canonicalization maps over the leading scan axis.
+    """
+    W = apply_weight_views(W, meta.get("w_views_outer", ()))
+    fn = canonical_dense_weight if kind == "dense" else canonical_conv_weight
+    return jax.vmap(lambda w: fn(w, meta))(W)
+
+
+def canonical_stacked_weight_inverse(
+    W_canon: jax.Array, kind: str, meta: dict, leaf_shape: tuple
+) -> jax.Array:
+    """Inverse of :func:`canonical_stacked_weight` (back to the LEAF layout)."""
+    fn = (
+        canonical_dense_weight_inverse
+        if kind == "dense"
+        else canonical_conv_weight_inverse
+    )
+    W_op = jax.vmap(lambda w: fn(w, meta, leaf_shape[1:]))(W_canon)
+    return invert_weight_views(W_op, meta.get("w_views_outer", ()))
+
+
 def _conv_spatial_dims(meta: dict) -> tuple[int, tuple, int, int]:
     """(num_spatial, kernel_shape, rhs I dim, rhs O dim) from conv metadata."""
     dn = meta["dimension_numbers"]
@@ -178,6 +202,17 @@ def extract_conv_patches(x: jax.Array, meta: dict) -> jax.Array:
     return patches
 
 
+def _input_bsd(x: jax.Array, kind: str, meta: dict) -> jax.Array:
+    """One layer input to base sharing format ``[B, S, d_in]`` (no reduce/bias)."""
+    if kind == "conv":
+        return extract_conv_patches(x, meta)  # [B, S, d_in]
+    # dense: contract dims -> trailing d_in, other dims -> sharing
+    x_contract = meta["x_contract"]
+    other = [d for d in range(x.ndim) if d not in x_contract and d != 0]
+    x = jnp.transpose(x, (0, *other, *x_contract))
+    return x.reshape(x.shape[0], -1, meta["d_in"])
+
+
 def input_to_sharing_format(
     x: jax.Array,
     kind: str,
@@ -185,18 +220,27 @@ def input_to_sharing_format(
     kfac_approx: str,
     bias_pad: float | None = None,
 ) -> jax.Array:
-    """Convert a layer input to ``[batch, shared, d_in (+1)]``."""
-    if kind == "conv":
-        x = extract_conv_patches(x, meta)  # [B, S, d_in]
+    """Convert a layer input to ``[batch, shared, d_in (+1)]``.
+
+    Scan layers (collector ``meta["scan"]``) arrive stacked ``[L, B, *in]``:
+
+    - ``shared`` (scan-const weight): the scan axis is weight sharing, merged
+      into the sharing axis -> ``[B, L*S, d_in]``;
+    - ``stacked`` (scanned-over weight): each slice is an independent block,
+      the scan axis stays leading -> ``[L, B, S, d_in]`` and all covariances
+      batch over it.
+    """
+    scan = meta.get("scan")
+    if scan is None:
+        x = _input_bsd(x, kind, meta)
     else:
-        # dense: contract dims -> trailing d_in, other dims -> sharing
-        x_contract = meta["x_contract"]
-        other = [d for d in range(x.ndim) if d not in x_contract and d != 0]
-        x = jnp.transpose(x, (0, *other, *x_contract))
-        x = x.reshape(x.shape[0], -1, meta["d_in"])
+        x = jax.vmap(lambda xl: _input_bsd(xl, kind, meta))(x)  # [L, B, S, d]
+        if scan["kind"] == "shared":
+            L, B = x.shape[0], x.shape[1]
+            x = jnp.moveaxis(x, 0, 1).reshape(B, -1, x.shape[-1])
 
     if kfac_approx == KFACType.REDUCE:
-        x = jnp.mean(x, axis=1, keepdims=True)
+        x = jnp.mean(x, axis=-2, keepdims=True)
 
     if bias_pad is not None:
         pad = jnp.full((*x.shape[:-1], 1), bias_pad, x.dtype)
@@ -204,10 +248,8 @@ def input_to_sharing_format(
     return x
 
 
-def grad_to_sharing_format(
-    g: jax.Array, kind: str, meta: dict, kfac_approx: str
-) -> jax.Array:
-    """Convert layer-output gradients ``[V, B, *out]`` to ``[V, B, shared, d_out]``."""
+def _grad_vbsd(g: jax.Array, kind: str, meta: dict) -> jax.Array:
+    """Layer-output gradients ``[V, B, *out]`` to base ``[V, B, S, d_out]``."""
     if kind == "conv":
         dn = meta["dimension_numbers"]
         out_spec = dn.out_spec
@@ -216,24 +258,48 @@ def grad_to_sharing_format(
         b_pos, c_pos = out_spec[0] + 1, out_spec[1] + 1
         g = jnp.moveaxis(g, (b_pos, c_pos), (1, g.ndim - 1))
         V, B = g.shape[0], g.shape[1]
-        g = g.reshape(V, B, -1, g.shape[-1])
+        return g.reshape(V, B, -1, g.shape[-1])
+    # dense: output dims = [V, B, *share, d_out_dims...]; free dims of the
+    # weight map to the trailing dims of the output
+    V, B = g.shape[0], g.shape[1]
+    return g.reshape(V, B, -1, meta["d_out"]) if g.ndim > 2 else g.reshape(
+        V, B, 1, meta["d_out"]
+    )
+
+
+def grad_to_sharing_format(
+    g: jax.Array, kind: str, meta: dict, kfac_approx: str
+) -> jax.Array:
+    """Convert layer-output gradients to sharing format.
+
+    Returns ``[V, B, S, d_out]``, or ``[L, V, B, S, d_out]`` for stacked scan
+    layers (whose incoming gradients are ``[V, L, B, *out]``).
+    """
+    scan = meta.get("scan")
+    if scan is None:
+        g = _grad_vbsd(g, kind, meta)
     else:
-        # dense: output dims = [V, B, *share, d_out_dims...]; free dims of the
-        # weight map to the trailing dims of the output
-        V, B = g.shape[0], g.shape[1]
-        n_free = len(meta["w_free"])
-        g = g.reshape(V, B, -1, meta["d_out"]) if g.ndim > 2 else g.reshape(
-            V, B, 1, meta["d_out"]
-        )
+        # [V, L, B, *out]: map the base conversion over the scan axis
+        g = jax.vmap(lambda gl: _grad_vbsd(gl, kind, meta), in_axes=1, out_axes=0)(
+            g
+        )  # [L, V, B, S, d]
+        if scan["kind"] == "shared":
+            L, V, B = g.shape[0], g.shape[1], g.shape[2]
+            g = jnp.moveaxis(g, 0, 2).reshape(V, B, -1, g.shape[-1])
 
     if kfac_approx == KFACType.REDUCE:
-        g = jnp.sum(g, axis=2, keepdims=True)
+        g = jnp.sum(g, axis=-2, keepdims=True)
     return g
 
 
 def input_covariance(a: jax.Array, n_data: int) -> jax.Array:
-    """``aaT = sum_{b,s} a a^T / (N_data * shared)`` (``kfac_hooks.py:388``)."""
-    shared = a.shape[1]
+    """``aaT = sum_{b,s} a a^T / (N_data * shared)`` (``kfac_hooks.py:388``).
+
+    Stacked inputs ``[L, B, S, d]`` give batched covariances ``[L, d, d]``.
+    """
+    shared = a.shape[-2]
+    if a.ndim == 4:
+        return jnp.einsum("lbsi,lbsj->lij", a, a) / (n_data * shared)
     return jnp.einsum("bsi,bsj->ij", a, a) / (n_data * shared)
 
 
@@ -251,7 +317,12 @@ def loss_correction(
 
 
 def gradient_covariance(g: jax.Array, correction: float) -> jax.Array:
-    """``ggT = correction * sum_{v,b,s} g g^T`` over sharing format grads."""
+    """``ggT = correction * sum_{v,b,s} g g^T`` over sharing format grads.
+
+    Stacked gradients ``[L, V, B, S, d]`` give batched ``[L, d, d]``.
+    """
+    if g.ndim == 5:
+        return correction * jnp.einsum("lvbsi,lvbsj->lij", g, g)
     return correction * jnp.einsum("vbsi,vbsj->ij", g, g)
 
 
@@ -289,6 +360,19 @@ def eigenvalue_correction(
         raise ValueError(f"Invalid force_strategy: {force_strategy}.")
     if (a is None) != (Q_a is None):
         raise ValueError("a and Q_a must both be None or both be arrays.")
+
+    if g.ndim == 5:  # stacked scan group: batch the correction over the stack
+        if a is None:
+            return jax.vmap(
+                lambda gl, Ql: eigenvalue_correction(
+                    gl, Ql, None, None, force_strategy
+                )
+            )(g, Q_g)
+        return jax.vmap(
+            lambda gl, Qgl, al, Qal: eigenvalue_correction(
+                gl, Qgl, al, Qal, force_strategy
+            )
+        )(g, Q_g, a, Q_a)
 
     if a is None:  # bias-only: P_vn = sum_s g_vns
         rot = jnp.einsum("jd,vbsj->vbd", Q_g, g)

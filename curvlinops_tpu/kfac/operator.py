@@ -21,9 +21,14 @@ import jax.numpy as jnp
 
 from curvlinops_tpu.curvature.loss_hessian import FisherType, KFACType
 from curvlinops_tpu.kfac import math as kmath
-from curvlinops_tpu.kfac.chain import KroneckerChainOperator, batched_eigh
+from curvlinops_tpu.kfac.chain import (
+    KroneckerChainOperator,
+    batched_eigh,
+    stacked_kron_inverse,
+)
 from curvlinops_tpu.kfac.computer import KFACComputer, ParamGroup
 from curvlinops_tpu.ops.blockdiag import BlockDiagonalLinearOperator
+from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator
 
 
 def _leaf_by_path(tree: Any, path: tuple):
@@ -53,17 +58,25 @@ def make_to_canonical(
             if group.weight_path is not None:
                 use = group.uses[0]
                 W = flat[path_index[tuple(group.weight_path)]]
-                canon = (
-                    kmath.canonical_dense_weight(W, use.meta)
-                    if use.kind == "dense"
-                    else kmath.canonical_conv_weight(W, use.meta)
-                )
-                if group.joint:
-                    b = flat[path_index[tuple(group.bias_path)]]
-                    canon = jnp.concatenate([canon, b[:, None]], axis=1)
+                if group.stack:
+                    canon = kmath.canonical_stacked_weight(W, use.kind, use.meta)
+                    if group.joint:
+                        b = flat[path_index[tuple(group.bias_path)]]
+                        canon = jnp.concatenate([canon, b[..., None]], axis=-1)
+                else:
+                    canon = (
+                        kmath.canonical_dense_weight(W, use.meta)
+                        if use.kind == "dense"
+                        else kmath.canonical_conv_weight(W, use.meta)
+                    )
+                    if group.joint:
+                        b = flat[path_index[tuple(group.bias_path)]]
+                        canon = jnp.concatenate([canon, b[:, None]], axis=1)
                 blocks.append(canon.reshape(-1))
-            else:  # bias-only group
-                blocks.append(flat[path_index[tuple(group.bias_path)]])
+            else:  # bias-only group (stacked leaves flatten to one block)
+                blocks.append(
+                    flat[path_index[tuple(group.bias_path)]].reshape(-1)
+                )
         return tuple(blocks)
 
     def from_canonical(blocks: tuple) -> Any:
@@ -72,6 +85,17 @@ def make_to_canonical(
             if group.weight_path is not None:
                 use = group.uses[0]
                 i = path_index[tuple(group.weight_path)]
+                if group.stack:
+                    mat = block.reshape(group.stack, group.d_out, group.d_in)
+                    if group.joint:
+                        W_canon, b = mat[..., :-1], mat[..., -1]
+                        out[path_index[tuple(group.bias_path)]] = b
+                    else:
+                        W_canon = mat
+                    out[i] = kmath.canonical_stacked_weight_inverse(
+                        W_canon, use.kind, use.meta, shapes[i]
+                    )
+                    continue
                 mat = block.reshape(group.d_out, group.d_in)
                 if group.joint:
                     W_canon, b = mat[:, :-1], mat[:, -1]
@@ -86,7 +110,8 @@ def make_to_canonical(
                     )
                 )
             else:
-                out[path_index[tuple(group.bias_path)]] = block
+                idx = path_index[tuple(group.bias_path)]
+                out[idx] = block.reshape(shapes[idx])
         missing = [paths[i] for i, v in enumerate(out) if v is None]
         if missing:
             raise ValueError(f"Groups do not cover parameters: {missing}.")
@@ -167,7 +192,7 @@ class KFACLinearOperator(KroneckerChainOperator):
             factors = [ggT[gi]]
             if gi in aaT:
                 factors.append(aaT[gi])
-            blocks_data[gi] = ("kron", factors)
+            blocks_data[gi] = ("skron" if group.stack else "kron", factors)
 
         to_canonical, from_canonical = make_to_canonical(groups, params)
         KroneckerChainOperator.__init__(
@@ -221,31 +246,50 @@ class KFACLinearOperator(KroneckerChainOperator):
         blocks_data = {}
         if use_exact_damping:
             # batch all factor eigendecompositions by shape (one vmapped
-            # eigh per distinct factor size across the whole model)
-            factor_index, flat = {}, {}
+            # eigh per distinct factor size across the whole model; stacked
+            # factors [L, D, D] eigendecompose batched over the stack)
+            flat = {}
             for gi in sorted(self._blocks_data):
                 _, factors = self._blocks_data[gi]
                 for fi, S in enumerate(factors):
                     flat[(gi, fi)] = S
             eig = batched_eigh(flat)
             for gi in sorted(self._blocks_data):
-                _, factors = self._blocks_data[gi]
+                kind, factors = self._blocks_data[gi]
                 lams = [eig[(gi, fi)][0] for fi in range(len(factors))]
                 Qs = [eig[(gi, fi)][1] for fi in range(len(factors))]
                 kron_lam = lams[0]
                 for lam in lams[1:]:
-                    kron_lam = jnp.kron(kron_lam, lam)
-                blocks_data[gi] = ("eigh", (1.0 / (kron_lam + damping), Qs))
+                    if kind == "skron":  # batched kron over the stack axis
+                        kron_lam = (
+                            kron_lam[..., :, None] * lam[..., None, :]
+                        ).reshape(kron_lam.shape[0], -1)
+                    else:
+                        kron_lam = jnp.kron(kron_lam, lam)
+                out_kind = "seigh" if kind == "skron" else "eigh"
+                blocks_data[gi] = (out_kind, (1.0 / (kron_lam + damping), Qs))
         else:
-            for gi, block in zip(sorted(self._blocks_data), self.canonical.blocks):
-                inv = block.inverse(
-                    damping=damping,
-                    use_heuristic_damping=use_heuristic_damping,
-                    min_damping=min_damping,
-                    use_exact_damping=False,
-                    retry_double_precision=retry_double_precision,
-                )
-                blocks_data[gi] = ("kron", inv.factors)
+            for gi in sorted(self._blocks_data):
+                kind, factors = self._blocks_data[gi]
+                if kind == "skron":
+                    inv_factors = stacked_kron_inverse(
+                        factors,
+                        damping,
+                        use_heuristic_damping,
+                        min_damping,
+                        retry_double_precision,
+                    )
+                    blocks_data[gi] = ("skron", inv_factors)
+                else:
+                    block = KroneckerProductLinearOperator(*factors)
+                    inv = block.inverse(
+                        damping=damping,
+                        use_heuristic_damping=use_heuristic_damping,
+                        min_damping=min_damping,
+                        use_exact_damping=False,
+                        retry_double_precision=retry_double_precision,
+                    )
+                    blocks_data[gi] = ("kron", inv.factors)
         return KroneckerChainOperator(
             self._params, blocks_data, self._to_canonical, self._from_canonical
         )

@@ -69,15 +69,37 @@ def _block(params, x, n_head):
 
 
 def gpt_apply(params, tokens, *, config: GPTConfig) -> jax.Array:
-    """Forward pass ``[B, T] int tokens -> [(B*T), vocab] flattened logits."""
+    """Forward pass ``[B, T] int tokens -> [(B*T), vocab] flattened logits.
+
+    Accepts either per-layer block params (``h0..h{n-1}`` keys, unrolled
+    Python loop) or scan-stacked block params (one ``h`` subtree whose leaves
+    carry a leading ``n_layer`` axis, applied with ``lax.scan`` — the
+    idiomatic TPU layer stack: one compiled block body instead of ``n_layer``
+    inlined copies, and KFAC factors batched over the stack).
+    """
     B, T = tokens.shape
     pos = jnp.arange(T)
     x = params["wte"][tokens] + params["wpe"][pos]
-    for i in range(config.n_layer):
-        x = _block(params[f"h{i}"], x, config.n_head)
+    if "h" in params:  # scan-stacked blocks
+
+        def body(h, block_params):
+            return _block(block_params, h, config.n_head), None
+
+        x, _ = jax.lax.scan(body, x, params["h"])
+    else:
+        for i in range(config.n_layer):
+            x = _block(params[f"h{i}"], x, config.n_head)
     x = _layernorm(x, params["ln_f"])
     logits = x @ params["lm_head"]["W"]
     return logits.reshape(B * T, -1)
+
+
+def stack_gpt_blocks(params, config: GPTConfig):
+    """Convert unrolled ``h0..h{n-1}`` block params to a scan-stacked ``h``."""
+    blocks = [params[f"h{i}"] for i in range(config.n_layer)]
+    stacked = {k: v for k, v in params.items() if not k.startswith("h")}
+    stacked["h"] = jax.tree.map(lambda *ls: jnp.stack(ls), *blocks)
+    return stacked
 
 
 def init_gpt(key, config: GPTConfig, dtype=jnp.float32):
@@ -120,12 +142,19 @@ def shakespeare_nanogpt(
     config: GPTConfig | None = None,
     seed: int = 0,
     dtype=jnp.float32,
+    scan_blocks: bool = False,
 ) -> Problem:
-    """Synthetic-Shakespeare nanoGPT problem (random tokens, next-token CE)."""
+    """Synthetic-Shakespeare nanoGPT problem (random tokens, next-token CE).
+
+    ``scan_blocks=True`` stacks the transformer blocks into one ``lax.scan``
+    (same math, one traced block body, KFAC factors batched over layers).
+    """
     config = config or GPTConfig()
     key = jax.random.key(seed)
     kp, kd = jax.random.split(key)
     params = init_gpt(kp, config, dtype)
+    if scan_blocks:
+        params = stack_gpt_blocks(params, config)
     T = config.block_size
     tokens = jax.random.randint(kd, (batch_size, T + 1), 0, config.vocab_size)
     X, y = tokens[:, :T], tokens[:, 1:].reshape(-1)

@@ -597,8 +597,9 @@ def test_kfac_tensor_valued_dense_weight():
                     name="einsum dense kfac")
 
 
-def test_collector_refuses_scan_wrapped_params():
-    """scan-wrapped parameter uses refuse with a clear message (round-2 gap)."""
+def test_collector_matches_scan_stacked_params():
+    """scan-stacked layer weights are matched as stacked layers (one per
+    iteration slice); full semantics coverage lives in test_kfac_scan.py."""
     from curvlinops_tpu.kfac.collector import TracedModel
 
     params = {"W": jnp.ones((3, 4, 4))}  # stacked layer weights
@@ -611,5 +612,6 @@ def test_collector_refuses_scan_wrapped_params():
         return h
 
     X = jnp.ones((2, 4))
-    with pytest.raises(ValueError, match="scan"):
-        TracedModel(model, params, X)
+    traced = TracedModel(model, params, X)
+    assert len(traced.layers) == 1
+    assert traced.layers[0].meta["scan"] == {"kind": "stacked", "length": 3}
