@@ -132,12 +132,10 @@ def bench_kfac(prob, results: dict) -> None:
 
     # warm up the eigh compiles once, then time the steady-state build
     inv = kfac.inverse(damping=1e-3, use_exact_damping=True)
-    for block in inv.ops[1].blocks:
-        jax.block_until_ready(block.eigenvalues)
+    jax.block_until_ready(list(inv._blocks_data.values()))
     t0 = time.perf_counter()
     inv = kfac.inverse(damping=1e-3, use_exact_damping=True)
-    for block in inv.ops[1].blocks:
-        jax.block_until_ready(block.eigenvalues)
+    jax.block_until_ready(list(inv._blocks_data.values()))
     results["KFAC exact-damped inverse build (s)"] = round(
         time.perf_counter() - t0, 4
     )
@@ -188,6 +186,10 @@ def main() -> None:
         "--dtype", default="float32", choices=["float32", "bfloat16"],
         help="parameter/activation dtype (bfloat16 = TPU-native speed mode)",
     )
+    parser.add_argument(
+        "--scan-blocks", action="store_true",
+        help="scan-stacked transformer blocks (shakespeare_nanogpt only)",
+    )
     args = parser.parse_args()
 
     from curvlinops_tpu.curvature.ef import make_batch_ef_matmat
@@ -202,6 +204,8 @@ def main() -> None:
     setup_kwargs = {"dtype": jnp.dtype(args.dtype)}
     if args.batch_size:
         setup_kwargs["batch_size"] = args.batch_size
+    if args.scan_blocks:
+        setup_kwargs["scan_blocks"] = True
     prob = setup(**setup_kwargs)
     ops = args.ops.split(",")
 
@@ -211,6 +215,8 @@ def main() -> None:
         "device": str(jax.devices()[0]),
         "dtype": args.dtype,
     }
+    if args.scan_blocks:
+        results["scan_blocks"] = True
 
     if "gradient" in ops:
         results["gradient+loss (ms)"] = round(bench_gradient(prob), 3)
@@ -245,6 +251,8 @@ def main() -> None:
     out_dir = Path(__file__).parent / "results"
     out_dir.mkdir(exist_ok=True)
     suffix = "" if args.dtype == "float32" else f"_{args.dtype}"
+    if args.scan_blocks:
+        suffix += "_scan"
     out_file = out_dir / f"{prob.name}{suffix}.json"
     out_file.write_text(json.dumps(results, indent=2))
     print(json.dumps(results, indent=2))

@@ -1,0 +1,132 @@
+"""Worked example: Fisher-weighted model averaging (NeurIPS 2022).
+
+Counterpart of the reference's ``example_model_merging.py``: train one model
+per task, then merge the task parameters with
+
+    theta* = (lambda I + sum_t F_t)^-1 (sum_t F_t theta_t),
+
+comparing three Fishers: identity (naive averaging), the exact GGN/Fisher
+diagonal (analytic inverse), and the full GGN/Fisher (matrix-free CG inverse,
+entirely on device).
+
+Run: ``python examples/06_model_merging.py``
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+
+import curvlinops_tpu as cl
+
+T_TASKS = 3
+D_IN, D_HIDDEN, D_OUT = 7, 5, 3
+N, BATCH = 20, 10
+
+
+def model_fn(params, x):
+    h = jax.nn.relu(x @ params["l0"]["W"] + params["l0"]["b"])
+    h = jax.nn.sigmoid(h @ params["l1"]["W"] + params["l1"]["b"])
+    return h @ params["l2"]["W"] + params["l2"]["b"]
+
+
+def init_params(key):
+    k0, k1, k2 = jax.random.split(key, 3)
+
+    def dense(k, d_in, d_out):
+        return {
+            "W": jax.random.normal(k, (d_in, d_out)) / jnp.sqrt(d_in),
+            "b": jnp.zeros(d_out),
+        }
+
+    return {
+        "l0": dense(k0, D_IN, D_HIDDEN),
+        "l1": dense(k1, D_HIDDEN, D_HIDDEN),
+        "l2": dense(k2, D_HIDDEN, D_OUT),
+    }
+
+
+def main():
+    loss_fn = cl.MSELoss("mean")
+
+    # --- per-task data + a few epochs of SGD ------------------------------
+    tasks, thetas = [], []
+    unravel = None
+    for t in range(T_TASKS):
+        kd, kp = jax.random.split(jax.random.key(t), 2)
+        X = jax.random.uniform(kd, (N, D_IN))
+        y = jax.random.uniform(jax.random.fold_in(kd, 1), (N, D_OUT))
+        data = [(X[i : i + BATCH], y[i : i + BATCH]) for i in range(0, N, BATCH)]
+        params = init_params(kp)
+
+        @jax.jit
+        def sgd_step(p, X, y):
+            g = jax.grad(lambda q: loss_fn(model_fn(q, X), y))(p)
+            return jax.tree.map(lambda a, b: a - 1e-2 * b, p, g)
+
+        for _ in range(10):
+            for Xb, yb in data:
+                params = sgd_step(params, Xb, yb)
+        flat, unravel = ravel_pytree(params)
+        tasks.append((params, data))
+        thetas.append(flat)
+        final = float(loss_fn(model_fn(params, X), y))
+        print(f"task {t}: final loss {final:.4f}")
+
+    # --- per-task Fishers for each strategy --------------------------------
+    per_task_fishers = {
+        "diag(F)": [
+            cl.GGNDiagonalLinearOperator(model_fn, loss_fn, p, d)
+            for p, d in tasks
+        ],
+        "F": [
+            cl.GGNLinearOperator(model_fn, loss_fn, p, d) for p, d in tasks
+        ],
+    }
+
+    # --- Fisher-weighted right-hand sides  sum_t F_t theta_t ---------------
+    rhs = {
+        key: sum(np.asarray(F @ theta) for F, theta in zip(Fs, thetas))
+        for key, Fs in per_task_fishers.items()
+    }
+
+    # --- merge: (lambda I + sum_t F_t)^-1 rhs ------------------------------
+    damping = 1e-3
+    merged = {"Naive": np.mean(np.stack(thetas), axis=0)}
+
+    # diagonal Fisher: lazy operator sum stays Diagonal -> analytic inverse
+    diag_sum = per_task_fishers["diag(F)"][0]
+    for F in per_task_fishers["diag(F)"][1:]:
+        diag_sum = diag_sum + F
+    merged["diag(F)"] = np.asarray(diag_sum.inverse(damping) @ rhs["diag(F)"])
+
+    # full Fisher: matrix-free CG inverse of the damped operator sum
+    full_sum = per_task_fishers["F"][0]
+    for F in per_task_fishers["F"][1:]:
+        full_sum = full_sum + F
+    damped = full_sum + damping * cl.IdentityLinearOperator(full_sum.in_spec)
+    inv = cl.CGInverseLinearOperator(damped, maxiter=200, tol=1e-7)
+    merged["F"] = np.asarray(inv @ rhs["F"])
+
+    # --- compare merged models on all tasks --------------------------------
+    print(f"\n{'strategy':<10}" + "".join(f"task {t:<7}" for t in range(T_TASKS)))
+    losses = {}
+    for key, theta in merged.items():
+        p = unravel(jnp.asarray(theta))
+        losses[key] = [
+            float(
+                sum(loss_fn(model_fn(p, Xb), yb) for Xb, yb in d)
+                / len(d)
+            )
+            for _, d in tasks
+        ]
+        print(f"{key:<10}" + "".join(f"{v:<12.4f}" for v in losses[key]))
+
+    better = sum(
+        f <= n for f, n in zip(losses["F"], losses["Naive"])
+    )
+    print(f"\nfull-Fisher merging beats naive averaging on {better}/{T_TASKS} tasks")
+
+
+if __name__ == "__main__":
+    main()

@@ -13,9 +13,10 @@ EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
     [
         "01_matrix_vector_products.py",
         "05_submatrices_and_estimation.py",
+        "06_model_merging.py",
     ],
 )
 def test_example_runs(script, capsys):
     runpy.run_path(str(EXAMPLES / script), run_name="__main__")
     out = capsys.readouterr().out
-    assert "True" in out or "exact" in out
+    assert "True" in out or "exact" in out or "tasks" in out
