@@ -63,14 +63,9 @@ def _kron_matmat_T(factors: list[jax.Array], M: jax.Array) -> jax.Array:
 
 
 def _stacked_kron_matmat(factors: list[jax.Array], M: jax.Array) -> jax.Array:
-    """Batched Kronecker matmat: factors ``[L, n_i, n_i]``, ``M [L*prod n, K]``.
+    from curvlinops_tpu.ops.stacked import stacked_kron_matmat
 
-    One vmapped contraction per factor — the whole scanned layer stack is a
-    single batched MXU einsum instead of ``L`` sequential dispatches.
-    """
-    L, K = factors[0].shape[0], M.shape[-1]
-    Ml = M.reshape(L, -1, K)
-    return jax.vmap(_kron_matmat)(list(factors), Ml).reshape(-1, K)
+    return stacked_kron_matmat(factors, M)
 
 
 def _stacked_kron_matmat_T(factors: list[jax.Array], M: jax.Array) -> jax.Array:
@@ -206,31 +201,23 @@ class KroneckerChainOperator(ChainLinearOperator):
                     )
                 )
             elif kind == "skron":
-                blocks.append(
-                    BlockDiagonalLinearOperator(
-                        [
-                            KroneckerProductLinearOperator(
-                                *[S[sl] for S in data]
-                            )
-                            for sl in range(data[0].shape[0])
-                        ]
-                    )
-                )
+                from curvlinops_tpu.ops.stacked import StackedKroneckerOperator
+
+                blocks.append(StackedKroneckerOperator(*data))
             elif kind == "seigh":
+                from curvlinops_tpu.ops.stacked import StackedEighOperator
+
                 lam, Q_factors = data
-                blocks.append(
-                    BlockDiagonalLinearOperator(
-                        [
-                            EighDecomposedLinearOperator(
-                                lam[sl].reshape(-1),
-                                KroneckerProductLinearOperator(
-                                    *[Q[sl] for Q in Q_factors]
-                                ),
-                            )
-                            for sl in range(lam.shape[0])
-                        ]
-                    )
-                )
+                blocks.append(StackedEighOperator(lam, Q_factors))
+            elif kind == "krond":
+                from curvlinops_tpu.ops.kronecker import EmbeddingKroneckerOperator
+
+                blocks.append(EmbeddingKroneckerOperator(*data))
+            elif kind == "eighd":
+                from curvlinops_tpu.ops.kronecker import EmbeddingEighOperator
+
+                lam, Q = data
+                blocks.append(EmbeddingEighOperator(lam, Q))
             else:
                 raise ValueError(f"Unknown block kind {kind!r}.")
         K = BlockDiagonalLinearOperator(blocks)
@@ -265,6 +252,19 @@ class KroneckerChainOperator(ChainLinearOperator):
                         W = _stacked_kron_matmat_T(Qs, comp)
                         W = lam.reshape(-1)[:, None] * W
                         out.append(_stacked_kron_matmat(Qs, W))
+                    elif kinds[gi] == "krond":
+                        G, d = block_arrays[gi]
+                        K = comp.shape[-1]
+                        X = comp.reshape(G.shape[1], d.shape[0], K)
+                        o = jnp.einsum("ab,bvk->avk", G, X) * d[None, :, None]
+                        out.append(o.reshape(-1, K))
+                    elif kinds[gi] == "eighd":
+                        lam, Q = block_arrays[gi]
+                        K = comp.shape[-1]
+                        X = comp.reshape(*lam.shape, K)
+                        W = jnp.einsum("ba,bvk->avk", Q, X) * lam[:, :, None]
+                        o = jnp.einsum("ab,bvk->avk", Q, W)
+                        out.append(o.reshape(-1, K))
                     else:
                         lam, Qs = block_arrays[gi]
                         W = _kron_matmat_T(Qs, comp)

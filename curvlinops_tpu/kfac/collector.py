@@ -264,6 +264,25 @@ def _canonicalize_dense(op: _Op, weight_slot: int, w_shape, x_shape) -> dict | N
     }
 
 
+def _is_embedding_gather(op: _Op, w_shape) -> bool:
+    """Whether a gather is a whole-row embedding lookup ``W[idx]``.
+
+    The pattern jax emits for advanced indexing / ``jnp.take(..., axis=0)``:
+    row index collapsed, full trailing slices. No reference counterpart —
+    the reference refuses embedding layers outright (``kfac.py:117``); here
+    the one-hot structure makes the input covariance EXACTLY diagonal
+    (token counts), so KFAC extends to embeddings at no approximation cost.
+    """
+    dn = op.params["dimension_numbers"]
+    return (
+        tuple(dn.collapsed_slice_dims) == (0,)
+        and tuple(dn.start_index_map) == (0,)
+        and not dn.operand_batching_dims
+        and not dn.start_indices_batching_dims
+        and tuple(op.params["slice_sizes"]) == (1,) + tuple(w_shape[1:])
+    )
+
+
 def _conv_meta(op: _Op, w_shape) -> dict:
     """Extract convolution hyperparameters for patch extraction."""
     dn = op.params["dimension_numbers"]
@@ -329,7 +348,7 @@ class TracedModel:
         self.layers: list[LayerUse] = []
         self._scan_infos: dict[int, _ScanInfo] = {}
         self._unmatched: dict[int, list[str]] = {}
-        self._kind_counter: dict[str, int] = {"dense": 0, "conv": 0}
+        self._kind_counter: dict[str, int] = {"dense": 0, "conv": 0, "embedding": 0}
 
         self._match_ir(ir, derived, in_scan=None)
 
@@ -437,6 +456,40 @@ class TracedModel:
                 self._flag(leaf_ids, prim_name)
                 continue
 
+            if prim_name == "gather":
+                e = entries[0]
+                if (
+                    e is not None
+                    and leaf_ids[1] is None
+                    and _views_invertible(e.views)
+                    and _is_embedding_gather(op, self._atom_shape(op.in_atoms[0]))
+                ):
+                    if e.scan is not None and e.scan[0] == "stacked":
+                        self._flag(
+                            [e.leaf], "gather (scan-stacked embedding tables)"
+                        )
+                        continue
+                    w_shape = self._atom_shape(op.in_atoms[0])
+                    d_out = 1
+                    for d in w_shape[1:]:
+                        d_out *= d
+                    meta = {
+                        "vocab": w_shape[0],
+                        "d_in": w_shape[0],
+                        "d_out": d_out,
+                        "w_views": e.views,
+                        "w_views_outer": e.outer_views,
+                        "w_leaf_shape": tuple(self._param_shapes[e.leaf]),
+                        "w_operand_shape": tuple(w_shape),
+                    }
+                    if e.scan is not None:
+                        meta["scan"] = {"kind": e.scan[0], "length": e.scan[1]}
+                    self._add_layer("embedding", e.leaf, op_index, 1, meta, in_scan)
+                    produced_by_layer[op.out_keys[0]] = self.layers[-1].layer_id
+                    continue
+                self._flag(leaf_ids, prim_name)
+                continue
+
             if prim_name == "conv_general_dilated":
                 if (
                     leaf_ids[1] is not None
@@ -469,6 +522,13 @@ class TracedModel:
                     lid = produced_by_layer[in_keys[other_slots[0]]]
                     layer = self.layers[lid]
                     e = entries[bias_slots[0]]
+                    if layer.kind == "embedding":
+                        self._flag(
+                            [e.leaf],
+                            "add (bias added to an embedding lookup is not "
+                            "supported by KFAC)",
+                        )
+                        continue
                     wscan = layer.meta.get("scan")
                     bscan = e.scan
                     compatible = (wscan is None and bscan is None) or (
@@ -513,7 +573,7 @@ class TracedModel:
         in_scan: _ScanInfo | None,
     ) -> None:
         lid = len(self.layers)
-        name = f"{'Dense' if kind == 'dense' else 'Conv'}{self._kind_counter[kind]}"
+        name = f"{kind.capitalize()}{self._kind_counter[kind]}"
         self._kind_counter[kind] += 1
         use = LayerUse(
             layer_id=lid,

@@ -56,6 +56,7 @@ class ParamGroup:
     d_in: int  # canonical input dim (incl. bias column when joint)
     d_out: int
     stack: int = 0  # scan length for stacked groups, else 0
+    input_diag: bool = False  # embedding groups: aaT is a diagonal [d_in] vector
 
     @property
     def key(self) -> tuple:
@@ -82,6 +83,15 @@ def build_groups(
             order.append(key)
         by_weight.setdefault(key, []).append(use)
 
+    def _use_dims(u) -> tuple[int, int]:
+        if u.kind == "conv":
+            return (
+                int(np.prod([u.meta["w_shape"][d] for d in
+                             u.meta["dimension_numbers"].rhs_spec[1:]])),
+                u.meta["w_shape"][u.meta["dimension_numbers"].rhs_spec[0]],
+            )
+        return u.meta["d_in"], u.meta["d_out"]
+
     groups: list[ParamGroup] = []
     for key in order:
         uses = by_weight[key]
@@ -95,25 +105,29 @@ def build_groups(
                 "tying a stacked leaf with other layers is not supported."
             )
         stack = first.meta["scan"]["length"] if stacked_uses else 0
-        d_in = (
-            first.meta["d_in"]
-            if first.kind == "dense"
-            else int(np.prod([first.meta["w_shape"][d] for d in
-                              first.meta["dimension_numbers"].rhs_spec[1:]]))
-        )
-        d_out = (
-            first.meta["d_out"]
-            if first.kind == "dense"
-            else first.meta["w_shape"][first.meta["dimension_numbers"].rhs_spec[0]]
-        )
+        if len({u.kind for u in uses}) > 1:
+            raise ValueError(
+                f"Weight {key} is tied across layer kinds "
+                f"{sorted({u.kind for u in uses})}; its canonical KFAC blocks "
+                "are incompatible (e.g. embedding [d, V] vs head [V, d])."
+            )
+        d_in, d_out = _use_dims(first)
+        for u in uses[1:]:
+            if _use_dims(u) != (d_in, d_out):
+                raise ValueError(
+                    f"Weight {key} is tied across layers with different "
+                    f"canonical shapes ({_use_dims(u)} vs {(d_in, d_out)}); "
+                    "KFAC cannot merge their covariances."
+                )
         bias_paths = {tuple(u.bias_path) for u in uses if u.bias_path is not None}
         name = "+".join(u.name for u in uses)
+        input_diag = first.kind == "embedding"
 
         if separate_weight_and_bias:
             groups.append(
                 ParamGroup(
                     name, key, None, uses, joint=False,
-                    d_in=d_in, d_out=d_out, stack=stack,
+                    d_in=d_in, d_out=d_out, stack=stack, input_diag=input_diag,
                 )
             )
             for bp in sorted(bias_paths):
@@ -135,6 +149,7 @@ def build_groups(
                 ParamGroup(
                     name, key, bias_path, uses, joint=joint,
                     d_in=d_in + (1 if joint else 0), d_out=d_out, stack=stack,
+                    input_diag=input_diag,
                 )
             )
     return groups
@@ -213,6 +228,15 @@ class KFACComputer:
         X0, _ = next(iter(data))
         traced = self._get_traced(X0)
         self.groups = build_groups(traced.layers, separate_weight_and_bias)
+        if (
+            any(g.input_diag for g in self.groups)
+            and self.kfac_approx != KFACType.EXPAND
+        ):
+            raise ValueError(
+                "Embedding layers support kfac_approx=KFACType.EXPAND only "
+                "(averaging one-hot inputs over the sharing axis destroys "
+                "the exact-diagonal covariance structure)."
+            )
         self._check_deterministic = check_deterministic
 
     # ------------------------------------------------------------------ #
@@ -272,6 +296,19 @@ class KFACComputer:
                     )
                     x_u = ios[u.layer_id]
                     meta_u = traced.layers[u.layer_id].meta
+                    if u.kind == "embedding":
+                        # one-hot inputs: exact diagonal covariance (counts)
+                        cov_u = kmath.embedding_input_counts(
+                            x_u,
+                            meta_u["vocab"],
+                            jnp.result_type(*jax.tree.leaves(params)),
+                        )
+                        scan_u = meta_u.get("scan")
+                        batch_axis = 0 if scan_u is None else 1
+                        S_u = x_u.size // x_u.shape[batch_axis]
+                        cov = cov_u if cov is None else cov + cov_u
+                        S_total += S_u
+                        continue
                     if (
                         use_pallas
                         and u.kind == "conv"

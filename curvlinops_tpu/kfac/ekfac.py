@@ -38,6 +38,11 @@ class EKFACComputer(KFACComputer):
                 f"EKFAC supports fisher types {self._SUPPORTED_FISHER}, got "
                 f"{self.fisher_type}."
             )
+        if any(g.input_diag for g in self.groups):
+            raise ValueError(
+                "EKFAC does not support embedding layers; use KFAC (which "
+                "handles them exactly via diagonal input covariances)."
+            )
         # EKFAC's per-sample gradients require independent per-datum loss
         # terms: reject >2d model output (computers/_base.py:329-353)
         X0, y0 = next(iter(self.data))
@@ -56,6 +61,9 @@ class EKFACComputer(KFACComputer):
         eig_g = batched_eigh(ggT)
         Q_a = {gi: v for gi, (_, v) in eig_a.items()}
         Q_g = {gi: v for gi, (_, v) in eig_g.items()}
+        # free the covariance stacks before the correction pass — only the
+        # eigenvectors are needed, and a 124M-GPT's factors are ~2 GiB
+        del aaT, ggT, eig_a, eig_g
 
         base_key = jax.random.key(self.seed)
         params = self.params

@@ -99,6 +99,10 @@ class KFOCComputer(KFACComputer):
                 "KFOC does not support scan-stacked layers; unroll the scan "
                 "or use KFAC/EKFAC."
             )
+        if any(group.input_diag for group in self.groups):
+            raise ValueError(
+                "KFOC does not support embedding layers; use KFAC."
+            )
         batches = list(self.data)
         if len(batches) != 1:
             raise ValueError(

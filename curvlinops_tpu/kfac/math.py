@@ -84,6 +84,33 @@ def canonical_dense_weight_inverse(
     return invert_weight_views(W_op, meta.get("w_views", ()))
 
 
+def canonical_embedding_weight(W: jax.Array, meta: dict) -> jax.Array:
+    """Reshape an embedding table ``[V, *emb]`` to canonical ``[d_out, V]``."""
+    W = apply_weight_views(W, meta.get("w_views", ()))
+    return W.reshape(W.shape[0], -1).T
+
+
+def canonical_embedding_weight_inverse(
+    W_canon: jax.Array, meta: dict, shape: tuple
+) -> jax.Array:
+    """Inverse of :func:`canonical_embedding_weight` (back to the LEAF layout)."""
+    op_shape = meta.get("w_operand_shape", shape)
+    W_op = W_canon.T.reshape(op_shape)
+    return invert_weight_views(W_op, meta.get("w_views", ()))
+
+
+def embedding_input_counts(idx: jax.Array, vocab: int, dtype) -> jax.Array:
+    """Exact diagonal input covariance of an embedding lookup (un-normalized).
+
+    One-hot inputs make ``aaT = sum_{b,s} onehot onehot^T`` exactly
+    ``diag(token counts)`` — no ``[V, V]`` matrix is ever materialized
+    (GPT-2's vocab would need 10 GiB). Counts accumulate in float32 (bf16
+    would round past 256) and convert to the factor dtype at the end.
+    """
+    counts = jnp.zeros(vocab, jnp.float32).at[idx.reshape(-1)].add(1)
+    return counts.astype(dtype)
+
+
 def canonical_stacked_weight(W: jax.Array, kind: str, meta: dict) -> jax.Array:
     """Canonicalize a scan-stacked weight leaf to ``[L, d_out, d_in]``.
 

@@ -64,11 +64,12 @@ def make_to_canonical(
                         b = flat[path_index[tuple(group.bias_path)]]
                         canon = jnp.concatenate([canon, b[..., None]], axis=-1)
                 else:
-                    canon = (
-                        kmath.canonical_dense_weight(W, use.meta)
-                        if use.kind == "dense"
-                        else kmath.canonical_conv_weight(W, use.meta)
-                    )
+                    if use.kind == "dense":
+                        canon = kmath.canonical_dense_weight(W, use.meta)
+                    elif use.kind == "embedding":
+                        canon = kmath.canonical_embedding_weight(W, use.meta)
+                    else:
+                        canon = kmath.canonical_conv_weight(W, use.meta)
                     if group.joint:
                         b = flat[path_index[tuple(group.bias_path)]]
                         canon = jnp.concatenate([canon, b[:, None]], axis=1)
@@ -102,13 +103,18 @@ def make_to_canonical(
                     out[path_index[tuple(group.bias_path)]] = b
                 else:
                     W_canon = mat
-                out[i] = (
-                    kmath.canonical_dense_weight_inverse(W_canon, use.meta, shapes[i])
-                    if use.kind == "dense"
-                    else kmath.canonical_conv_weight_inverse(
+                if use.kind == "dense":
+                    out[i] = kmath.canonical_dense_weight_inverse(
                         W_canon, use.meta, shapes[i]
                     )
-                )
+                elif use.kind == "embedding":
+                    out[i] = kmath.canonical_embedding_weight_inverse(
+                        W_canon, use.meta, shapes[i]
+                    )
+                else:
+                    out[i] = kmath.canonical_conv_weight_inverse(
+                        W_canon, use.meta, shapes[i]
+                    )
             else:
                 idx = path_index[tuple(group.bias_path)]
                 out[idx] = block.reshape(shapes[idx])
@@ -192,7 +198,13 @@ class KFACLinearOperator(KroneckerChainOperator):
             factors = [ggT[gi]]
             if gi in aaT:
                 factors.append(aaT[gi])
-            blocks_data[gi] = ("skron" if group.stack else "kron", factors)
+            if group.input_diag:
+                kind = "krond"  # embedding: diagonal input covariance vector
+            elif group.stack:
+                kind = "skron"
+            else:
+                kind = "kron"
+            blocks_data[gi] = (kind, factors)
 
         to_canonical, from_canonical = make_to_canonical(groups, params)
         KroneckerChainOperator.__init__(
@@ -250,12 +262,19 @@ class KFACLinearOperator(KroneckerChainOperator):
             # factors [L, D, D] eigendecompose batched over the stack)
             flat = {}
             for gi in sorted(self._blocks_data):
-                _, factors = self._blocks_data[gi]
+                kind, factors = self._blocks_data[gi]
                 for fi, S in enumerate(factors):
+                    if kind == "krond" and fi == 1:
+                        continue  # diagonal factor: already its own spectrum
                     flat[(gi, fi)] = S
             eig = batched_eigh(flat)
             for gi in sorted(self._blocks_data):
                 kind, factors = self._blocks_data[gi]
+                if kind == "krond":
+                    lam_G, Q_G = eig[(gi, 0)]
+                    lam = lam_G[:, None] * factors[1][None, :]
+                    blocks_data[gi] = ("eighd", (1.0 / (lam + damping), Q_G))
+                    continue
                 lams = [eig[(gi, fi)][0] for fi in range(len(factors))]
                 Qs = [eig[(gi, fi)][1] for fi in range(len(factors))]
                 kron_lam = lams[0]
@@ -271,7 +290,20 @@ class KFACLinearOperator(KroneckerChainOperator):
         else:
             for gi in sorted(self._blocks_data):
                 kind, factors = self._blocks_data[gi]
-                if kind == "skron":
+                if kind == "krond":
+                    from curvlinops_tpu.ops.kronecker import (
+                        EmbeddingKroneckerOperator,
+                    )
+
+                    inv = EmbeddingKroneckerOperator(*factors).inverse(
+                        damping=damping,
+                        use_heuristic_damping=use_heuristic_damping,
+                        min_damping=min_damping,
+                        use_exact_damping=False,
+                        retry_double_precision=retry_double_precision,
+                    )
+                    blocks_data[gi] = ("krond", inv.factors)
+                elif kind == "skron":
                     inv_factors = stacked_kron_inverse(
                         factors,
                         damping,

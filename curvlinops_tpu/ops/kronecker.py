@@ -189,3 +189,164 @@ class KroneckerProductLinearOperator(LinearOperator):
                 for S, d in zip(self._factors, dampings)
             ]
         )
+
+
+class EmbeddingKroneckerOperator(LinearOperator):
+    """``G (x) diag(d)`` — the KFAC block of an embedding layer.
+
+    One-hot layer inputs make the input covariance EXACTLY diagonal (token
+    counts), so the right Kronecker factor is a length-``V`` vector and the
+    ``[V, V]`` matrix is never materialized (GPT-2's vocab would be 10 GiB).
+    No reference counterpart (the reference refuses embeddings,
+    ``curvlinops/kfac.py:117``); damping semantics mirror
+    :class:`KroneckerProductLinearOperator` with the diagonal as the second
+    factor.
+    """
+
+    def __init__(self, G: jax.Array, d: jax.Array):
+        self._G = jnp.asarray(G)
+        self._d = jnp.asarray(d)
+        if self._G.ndim != 2 or self._d.ndim != 1:
+            raise ValueError("Need a [C, C] matrix and a [V] diagonal vector.")
+        V = self._d.shape[0]
+        dtype = jnp.result_type(self._G.dtype, self._d.dtype)
+        super().__init__(
+            jax.ShapeDtypeStruct((self._G.shape[1] * V,), dtype),
+            jax.ShapeDtypeStruct((self._G.shape[0] * V,), dtype),
+        )
+        self.SELF_ADJOINT = False
+
+    @property
+    def factors(self) -> list[jax.Array]:
+        """``[G, d]`` — the dense left factor and the diagonal vector."""
+        return [self._G, self._d]
+
+    def _matmat(self, M: jax.Array) -> jax.Array:
+        K = M.shape[-1]
+        X = M.reshape(self._G.shape[1], self._d.shape[0], K)
+        out = jnp.einsum("ab,bvk->avk", self._G, X) * self._d[None, :, None]
+        return out.reshape(-1, K)
+
+    def _adjoint(self) -> "EmbeddingKroneckerOperator":
+        return EmbeddingKroneckerOperator(self._G.conj().T, self._d.conj())
+
+    def _ensure_square(self):
+        if self._G.shape[0] != self._G.shape[1]:
+            raise ValueError("Operation requires a square left factor.")
+
+    def trace(self) -> jax.Array:
+        """``tr(G) * sum(d)``."""
+        self._ensure_square()
+        return jnp.trace(self._G) * jnp.sum(self._d)
+
+    def det(self) -> jax.Array:
+        """``det(G)^V * prod(d)^C``."""
+        self._ensure_square()
+        V, C = self._d.shape[0], self._G.shape[0]
+        return jnp.linalg.det(self._G) ** V * jnp.prod(self._d) ** C
+
+    def logdet(self) -> jax.Array:
+        """``V logdet(G) + C sum(log d)``."""
+        self._ensure_square()
+        V, C = self._d.shape[0], self._G.shape[0]
+        _, ld = jnp.linalg.slogdet(self._G)
+        return V * ld + C * jnp.sum(jnp.log(self._d))
+
+    def frobenius_norm(self) -> jax.Array:
+        """``||G||_F * ||d||_2``."""
+        return jnp.linalg.norm(self._G) * jnp.linalg.norm(self._d)
+
+    def inverse(
+        self,
+        damping: float = 0.0,
+        use_heuristic_damping: bool = False,
+        min_damping: float = 1e-8,
+        use_exact_damping: bool = False,
+        retry_double_precision: bool = True,
+    ) -> LinearOperator:
+        """Damped inverse with the three reference damping modes.
+
+        Raises:
+            ValueError: If both damping strategies are requested.
+            RuntimeError: On a negative mean eigenvalue under heuristic
+                damping.
+        """
+        self._ensure_square()
+        if use_heuristic_damping and use_exact_damping:
+            raise ValueError("Choose either heuristic or exact damping, not both.")
+        if use_exact_damping:
+            lam_G, Q_G = jnp.linalg.eigh(self._G)
+            lam = lam_G[:, None] * self._d[None, :]
+            return EmbeddingEighOperator(1.0 / (lam + damping), Q_G)
+        if use_heuristic_damping:
+            mean1 = float(jnp.mean(jnp.diag(self._G)))
+            mean2 = float(jnp.mean(self._d))
+            if mean1 < 0 or mean2 < 0:
+                raise RuntimeError("Negative mean eigenvalue detected.")
+            pi = math.sqrt(mean2 / mean1)
+            sqrt_damping = math.sqrt(damping)
+            d1 = max(sqrt_damping / pi, min_damping)
+            d2 = max(sqrt_damping * pi, min_damping)
+        else:
+            d1 = d2 = damping
+        return EmbeddingKroneckerOperator(
+            damped_cholesky_inverse(self._G, d1, retry_double_precision),
+            1.0 / (self._d + d2),
+        )
+
+
+class EmbeddingEighOperator(LinearOperator):
+    """``(Q (x) I) diag(lam) (Q (x) I)^T`` — eigendecomposed embedding block.
+
+    The diagonal right factor's eigenbasis is the identity, so only the
+    ``[C, C]`` left eigenvectors are stored; eigenvalues are the full
+    ``[C, V]`` grid ``lam_G (x) d``.
+    """
+
+    def __init__(self, eigenvalues: jax.Array, Q: jax.Array):
+        self._lam = jnp.asarray(eigenvalues)  # [C, V]
+        self._Q = jnp.asarray(Q)  # [C, C]
+        if self._lam.ndim != 2 or self._Q.ndim != 2:
+            raise ValueError("Need [C, V] eigenvalues and [C, C] eigenvectors.")
+        size = self._lam.size
+        super().__init__(
+            jax.ShapeDtypeStruct((size,), self._lam.dtype),
+            jax.ShapeDtypeStruct((size,), self._lam.dtype),
+        )
+        self.SELF_ADJOINT = True
+
+    @property
+    def eigenvalues(self) -> jax.Array:
+        """The ``[C, V]`` eigenvalue grid."""
+        return self._lam
+
+    def _matmat(self, M: jax.Array) -> jax.Array:
+        K = M.shape[-1]
+        X = M.reshape(*self._lam.shape, K)
+        W = jnp.einsum("ba,bvk->avk", self._Q, X)  # Q^T X
+        W = W * self._lam[:, :, None]
+        out = jnp.einsum("ab,bvk->avk", self._Q, W)
+        return out.reshape(-1, K)
+
+    def _adjoint(self) -> "EmbeddingEighOperator":
+        return self
+
+    def trace(self) -> jax.Array:
+        """Sum of eigenvalues."""
+        return jnp.sum(self._lam)
+
+    def det(self) -> jax.Array:
+        """Product of eigenvalues."""
+        return jnp.prod(self._lam)
+
+    def logdet(self) -> jax.Array:
+        """Sum of log eigenvalues."""
+        return jnp.sum(jnp.log(self._lam))
+
+    def frobenius_norm(self) -> jax.Array:
+        """L2 norm of the eigenvalues."""
+        return jnp.linalg.norm(self._lam.reshape(-1))
+
+    def inverse(self, damping: float = 0.0) -> "EmbeddingEighOperator":
+        """``1/(lam + delta)`` in the same basis."""
+        return EmbeddingEighOperator(1.0 / (self._lam + damping), self._Q)

@@ -1,0 +1,208 @@
+"""Stacked (batched) structured operators for scan-stacked layer groups.
+
+``L`` independent Kronecker / eigendecomposed blocks whose factors share a
+shape are held as single arrays with a leading stack axis (``[L, n, n]``) and
+applied with one batched contraction — never materializing per-slice copies
+(a ``[12, 3072, 3072]`` eigenvector stack is ~0.5 GiB; slicing it into 12
+operators would double HBM use). These back the KFAC/EKFAC canonical blocks
+for ``lax.scan``-stacked layers; no reference counterpart exists (torch has
+no scan — the closest analogue is a ``BlockDiagonalLinearOperator`` of equal-
+shape ``KroneckerProductLinearOperator`` blocks, ``blockdiagonal.py:19-189``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from curvlinops_tpu.ops.base import LinearOperator
+
+
+def stacked_kron_matmat(factors: list[jax.Array], M: jax.Array) -> jax.Array:
+    """Batched Kronecker matmat: factors ``[L, m_i, n_i]``, ``M [L*prod n, K]``."""
+
+    def one(slice_factors, Ml):
+        K = Ml.shape[-1]
+        grid = tuple(S.shape[1] for S in slice_factors)
+        x = Ml.reshape(*grid, K)
+        for i, S in enumerate(slice_factors):
+            x = jnp.moveaxis(jnp.tensordot(S, x, axes=[[1], [i]]), 0, i)
+        return x.reshape(-1, K)
+
+    L, K = factors[0].shape[0], M.shape[-1]
+    return jax.vmap(one)(list(factors), M.reshape(L, -1, K)).reshape(-1, K)
+
+
+class StackedKroneckerOperator(LinearOperator):
+    """``blockdiag_l ( S_1[l] (x) ... (x) S_k[l] )`` over flat vectors."""
+
+    def __init__(self, *factors: jax.Array):
+        self._factors = [jnp.asarray(S) for S in factors]
+        if not self._factors or any(S.ndim != 3 for S in self._factors):
+            raise ValueError("Factors must be one or more [L, m, n] stacks.")
+        L = self._factors[0].shape[0]
+        if any(S.shape[0] != L for S in self._factors):
+            raise ValueError("All factor stacks must share the stack length.")
+        rows = L * math.prod(S.shape[1] for S in self._factors)
+        cols = L * math.prod(S.shape[2] for S in self._factors)
+        dtype = jnp.result_type(*[S.dtype for S in self._factors])
+        super().__init__(
+            jax.ShapeDtypeStruct((cols,), dtype), jax.ShapeDtypeStruct((rows,), dtype)
+        )
+
+    @property
+    def factors(self) -> list[jax.Array]:
+        """The stacked Kronecker factors ``[L, m_i, n_i]``."""
+        return self._factors
+
+    @property
+    def stack(self) -> int:
+        """Number of independent blocks."""
+        return self._factors[0].shape[0]
+
+    def _matmat(self, M: jax.Array) -> jax.Array:
+        return stacked_kron_matmat(self._factors, M)
+
+    def _adjoint(self) -> "StackedKroneckerOperator":
+        return StackedKroneckerOperator(
+            *[jnp.conj(jnp.swapaxes(S, -1, -2)) for S in self._factors]
+        )
+
+    # ---- closed-form properties, batched over the stack ------------------ #
+    def _ensure_square(self):
+        if any(S.shape[1] != S.shape[2] for S in self._factors):
+            raise ValueError("Operation requires square Kronecker factors.")
+
+    def trace(self) -> jax.Array:
+        """``sum_l prod_i tr(S_i[l])``."""
+        self._ensure_square()
+        per_l = jnp.ones(self.stack, self.dtype)
+        for S in self._factors:
+            per_l = per_l * jnp.trace(S, axis1=-2, axis2=-1)
+        return jnp.sum(per_l)
+
+    def logdet(self) -> jax.Array:
+        """``sum_l sum_i (N_l / n_i) logdet(S_i[l])``."""
+        self._ensure_square()
+        N = math.prod(S.shape[1] for S in self._factors)
+        out = jnp.zeros((), self.dtype)
+        for S in self._factors:
+            _, ld = jnp.linalg.slogdet(S)
+            out = out + (N // S.shape[1]) * jnp.sum(ld)
+        return out
+
+    def det(self) -> jax.Array:
+        """``prod_l prod_i det(S_i[l])^(N_l / n_i)``."""
+        self._ensure_square()
+        N = math.prod(S.shape[1] for S in self._factors)
+        out = jnp.ones((), self.dtype)
+        for S in self._factors:
+            out = out * jnp.prod(jnp.linalg.det(S) ** (N // S.shape[1]))
+        return out
+
+    def frobenius_norm(self) -> jax.Array:
+        """``sqrt(sum_l prod_i ||S_i[l]||_F^2)``."""
+        per_l = jnp.ones(self.stack, self.dtype)
+        for S in self._factors:
+            per_l = per_l * jnp.sum(S * S, axis=(-2, -1))
+        return jnp.sqrt(jnp.sum(per_l))
+
+    def inverse(
+        self,
+        damping: float = 0.0,
+        use_heuristic_damping: bool = False,
+        min_damping: float = 1e-8,
+        use_exact_damping: bool = False,
+        retry_double_precision: bool = True,
+    ) -> LinearOperator:
+        """Damped inverse, batched over the stack (``kronecker.py:250-373``).
+
+        Raises:
+            ValueError: If both damping strategies are requested.
+        """
+        from curvlinops_tpu.kfac.chain import stacked_kron_inverse
+
+        self._ensure_square()
+        if use_heuristic_damping and use_exact_damping:
+            raise ValueError("Choose either heuristic or exact damping, not both.")
+        if use_exact_damping:
+            eig = [jnp.linalg.eigh(S) for S in self._factors]
+            lam = eig[0][0]
+            for vals, _ in eig[1:]:
+                lam = (lam[..., :, None] * vals[..., None, :]).reshape(
+                    self.stack, -1
+                )
+            return StackedEighOperator(
+                1.0 / (lam + damping), [vecs for _, vecs in eig]
+            )
+        return StackedKroneckerOperator(
+            *stacked_kron_inverse(
+                self._factors,
+                damping,
+                use_heuristic_damping,
+                min_damping,
+                retry_double_precision,
+            )
+        )
+
+
+class StackedEighOperator(LinearOperator):
+    """``blockdiag_l ( Q[l] diag(lam[l]) Q[l]^T )`` with Kronecker ``Q[l]``."""
+
+    def __init__(self, eigenvalues: jax.Array, q_factors: list[jax.Array]):
+        self._lam = jnp.asarray(eigenvalues)  # [L, D]
+        self._Qs = [jnp.asarray(Q) for Q in q_factors]  # [L, n_i, n_i]
+        if self._lam.ndim != 2 or any(Q.ndim != 3 for Q in self._Qs):
+            raise ValueError(
+                "Need [L, D] eigenvalues and [L, n, n] eigenvector stacks."
+            )
+        L, D = self._lam.shape
+        if D != math.prod(Q.shape[1] for Q in self._Qs):
+            raise ValueError("Eigenvalue count must match prod of Q dims.")
+        size = L * D
+        dtype = self._lam.dtype
+        super().__init__(
+            jax.ShapeDtypeStruct((size,), dtype), jax.ShapeDtypeStruct((size,), dtype)
+        )
+        self.SELF_ADJOINT = True
+
+    @property
+    def eigenvalues(self) -> jax.Array:
+        """The per-block eigenvalues ``[L, D]``."""
+        return self._lam
+
+    @property
+    def stack(self) -> int:
+        """Number of independent blocks."""
+        return self._lam.shape[0]
+
+    def _matmat(self, M: jax.Array) -> jax.Array:
+        QT = [jnp.swapaxes(Q, -1, -2) for Q in self._Qs]
+        W = stacked_kron_matmat(QT, M)
+        W = self._lam.reshape(-1)[:, None] * W
+        return stacked_kron_matmat(self._Qs, W)
+
+    def _adjoint(self) -> "StackedEighOperator":
+        return self
+
+    def trace(self) -> jax.Array:
+        """Sum of all eigenvalues."""
+        return jnp.sum(self._lam)
+
+    def det(self) -> jax.Array:
+        """Product of all eigenvalues."""
+        return jnp.prod(self._lam)
+
+    def logdet(self) -> jax.Array:
+        """Sum of log eigenvalues."""
+        return jnp.sum(jnp.log(self._lam))
+
+    def frobenius_norm(self) -> jax.Array:
+        """L2 norm of the eigenvalues."""
+        return jnp.linalg.norm(self._lam.reshape(-1))
+
+    def inverse(self, damping: float = 0.0) -> "StackedEighOperator":
+        """``1/(lam + delta)`` in the same basis."""
+        return StackedEighOperator(1.0 / (self._lam + damping), self._Qs)

@@ -1,0 +1,202 @@
+"""KFAC for embedding layers via exact diagonal input covariances.
+
+The reference refuses embedding layers outright (``curvlinops/kfac.py:117``);
+here the one-hot input structure makes the input covariance EXACTLY
+``diag(token counts)``, so KFAC extends to embeddings at no approximation
+cost and without materializing a ``[V, V]`` matrix. Oracle: the embedding
+model must produce the SAME operator as the equivalent one-hot dense model
+(which the reference's dense semantics cover).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curvlinops_tpu import CrossEntropyLoss, FisherType, KFACType, MSELoss
+from curvlinops_tpu.kfac.operator import KFACLinearOperator
+
+from tests.utils import report_nonclose
+
+V, C, D_OUT, B, T = 11, 6, 4, 8, 5
+
+
+def _params(seed=0):
+    k1, k2 = jax.random.split(jax.random.key(seed))
+    return {
+        "emb": 0.4 * jax.random.normal(k1, (V, C)),
+        "head": {"W": 0.4 * jax.random.normal(k2, (C, D_OUT)),
+                 "b": jnp.zeros(D_OUT)},
+    }
+
+
+def emb_model(p, tokens):
+    h = p["emb"][tokens]  # [B, T, C]
+    h = jnp.tanh(h)
+    return (h @ p["head"]["W"] + p["head"]["b"]).reshape(
+        tokens.shape[0] * tokens.shape[1], D_OUT
+    )
+
+
+def onehot_model(p, x_onehot):
+    h = x_onehot @ p["emb"]  # [B, T, C] via dense matmul on one-hots
+    h = jnp.tanh(h)
+    return (h @ p["head"]["W"] + p["head"]["b"]).reshape(
+        x_onehot.shape[0] * x_onehot.shape[1], D_OUT
+    )
+
+
+def _data(seed=1):
+    kt, ky = jax.random.split(jax.random.key(seed))
+    tokens = jax.random.randint(kt, (B, T), 0, V)
+    y = jax.random.randint(ky, (B * T,), 0, D_OUT)
+    return tokens, y
+
+
+@pytest.mark.parametrize("fisher_type", [FisherType.TYPE2, FisherType.EMPIRICAL])
+def test_embedding_kfac_equals_onehot_dense(fisher_type):
+    """Embedding KFAC == dense KFAC on the explicit one-hot model."""
+    params = _params()
+    tokens, y = _data()
+    loss = CrossEntropyLoss("mean")
+    k_emb = KFACLinearOperator(
+        emb_model, loss, params, [(tokens, y)], fisher_type=fisher_type
+    )
+    k_hot = KFACLinearOperator(
+        onehot_model, loss, params,
+        [(jax.nn.one_hot(tokens, V), y)], fisher_type=fisher_type,
+    )
+    emb_groups = [g for g in k_emb.groups if g.input_diag]
+    assert len(emb_groups) == 1 and emb_groups[0].d_in == V
+
+    vt = jax.tree.map(
+        lambda leaf: jax.random.normal(jax.random.key(5), leaf.shape), params
+    )
+    r_e, r_h = k_emb @ vt, k_hot @ vt
+    report_nonclose(r_e["emb"], r_h["emb"], 5e-4, 1e-5, name="emb block")
+    report_nonclose(
+        r_e["head"]["W"], r_h["head"]["W"], 5e-4, 1e-5, name="head block"
+    )
+    np.testing.assert_allclose(k_emb.trace(), k_hot.trace(), rtol=1e-4)
+    np.testing.assert_allclose(
+        k_emb.frobenius_norm(), k_hot.frobenius_norm(), rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize(
+    "inv_kwargs",
+    [
+        {"damping": 0.1},
+        {"damping": 0.1, "use_heuristic_damping": True},
+        {"damping": 0.1, "use_exact_damping": True},
+    ],
+    ids=["plain", "heuristic", "exact"],
+)
+def test_embedding_kfac_inverse_equals_onehot_dense(inv_kwargs):
+    """All damping modes of the embedding-block inverse match the dense path.
+
+    Note plain/heuristic damping are only comparable because every token
+    appears in the batch (damped Cholesky of a singular one-hot covariance
+    differs from damping its diagonal otherwise); exact damping always is.
+    """
+    params = _params()
+    # data covering every token so the count diagonal is non-singular
+    tokens = jnp.arange(V * 2).reshape(2, V) % V
+    y = jax.random.randint(jax.random.key(2), (2 * V,), 0, D_OUT)
+    loss = CrossEntropyLoss("mean")
+    k_emb = KFACLinearOperator(
+        emb_model, loss, params, [(tokens, y)], fisher_type=FisherType.TYPE2
+    )
+    k_hot = KFACLinearOperator(
+        onehot_model, loss, params,
+        [(jax.nn.one_hot(tokens, V), y)], fisher_type=FisherType.TYPE2,
+    )
+    vt = jax.tree.map(
+        lambda leaf: jax.random.normal(jax.random.key(5), leaf.shape), params
+    )
+    r_e = k_emb.inverse(**inv_kwargs) @ vt
+    r_h = k_hot.inverse(**inv_kwargs) @ vt
+    report_nonclose(r_e["emb"], r_h["emb"], 1e-3, 1e-4, name="emb inverse")
+
+
+def test_embedding_counts_diagonal():
+    """The stored input factor is exactly the normalized token counts."""
+    params = _params()
+    tokens, y = _data()
+    k = KFACLinearOperator(
+        emb_model, MSELoss("mean"), params,
+        [(tokens, jax.random.normal(jax.random.key(3), (B * T, D_OUT)))],
+        fisher_type=FisherType.TYPE2,
+    )
+    gi = next(i for i, g in enumerate(k.groups) if g.input_diag)
+    counts = np.zeros(V)
+    for t in np.asarray(tokens).reshape(-1):
+        counts[t] += 1
+    np.testing.assert_allclose(
+        np.asarray(k._aaT[gi]), counts / (B * T), rtol=1e-6
+    )
+
+
+def test_embedding_state_dict_roundtrip():
+    params = _params()
+    tokens, y = _data()
+    k = KFACLinearOperator(
+        emb_model, CrossEntropyLoss("mean"), params, [(tokens, y)],
+        fisher_type=FisherType.TYPE2,
+    )
+    vt = jax.tree.map(
+        lambda leaf: jax.random.normal(jax.random.key(5), leaf.shape), params
+    )
+    before = k @ vt
+    k.load_state_dict(jax.tree.map(np.asarray, k.state_dict()))
+    after = k @ vt
+    report_nonclose(before["emb"], after["emb"], 1e-6, 1e-7, name="roundtrip")
+
+
+def test_embedding_refusals():
+    """REDUCE, EKFAC, KFOC, embedding+head tying, and biased lookups refuse."""
+    from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
+    from curvlinops_tpu.kfac.kfoc import KFOCLinearOperator
+
+    params = _params()
+    tokens, y = _data()
+    loss = CrossEntropyLoss("mean")
+
+    with pytest.raises(ValueError, match="EXPAND"):
+        KFACLinearOperator(
+            emb_model, loss, params, [(tokens, y)],
+            fisher_type=FisherType.TYPE2, kfac_approx=KFACType.REDUCE,
+        )
+    with pytest.raises(ValueError, match="embedding"):
+        EKFACLinearOperator(
+            emb_model, loss, params, [(tokens, y)], fisher_type=FisherType.TYPE2
+        )
+    with pytest.raises(ValueError, match="embedding"):
+        KFOCLinearOperator(
+            emb_model, loss, params, [(tokens, y)], fisher_type=FisherType.TYPE2
+        )
+
+    # weight tying across kinds: embedding table reused as the output head
+    def tied_model(p, tokens):
+        h = jnp.tanh(p["emb"][tokens])
+        return (h @ p["emb"].T).reshape(tokens.shape[0] * tokens.shape[1], V)
+
+    y_tied = jax.random.randint(jax.random.key(4), (B * T,), 0, V)
+    with pytest.raises(ValueError, match="tied across layer kinds"):
+        KFACLinearOperator(
+            tied_model, loss, {"emb": params["emb"]}, [(tokens, y_tied)],
+            fisher_type=FisherType.TYPE2,
+        )
+
+    # bias added to a lookup
+    def biased_model(p, tokens):
+        h = p["emb"][tokens] + p["b"]
+        return h.reshape(tokens.shape[0] * tokens.shape[1], C)
+
+    y_b = jax.random.randint(jax.random.key(6), (B * T,), 0, C)
+    with pytest.raises(ValueError, match="bias"):
+        KFACLinearOperator(
+            biased_model, loss,
+            {"emb": params["emb"], "b": jnp.zeros(C)},
+            [(tokens, y_b)], fisher_type=FisherType.TYPE2,
+        )
