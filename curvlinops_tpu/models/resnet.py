@@ -176,16 +176,18 @@ def init_resnet(key, arch: str, num_classes: int, dtype=jnp.float32) -> Any:
     return jax.tree.map(lambda a: a.astype(dtype), params)
 
 
-def kfac_restricted(apply_fn, params):
+def kfac_restricted(apply_fn, params, include_embeddings: bool = False):
     """Split params into (conv/fc leaves for KFAC, frozen rest) + wrapped fn.
 
     Returns:
         ``(kfac_model_fn, kfac_params)`` — leaves under ``conv*``/``fc``/
         ``dense*`` keys with all dims <= 50k; the rest (BatchNorm affines,
-        embeddings, huge heads) travel as a
+        huge dense heads) travel as a
         :class:`curvlinops_tpu.utils.misc.FrozenModelFn` frozen pytree, so
         they enter jitted kernels as runtime arguments instead of HLO
-        constants.
+        constants. ``include_embeddings`` additionally covers embedding
+        tables (``wte``/``wpe``/``emb*`` keys, any vocab size — the KFAC
+        input covariance of a lookup is stored as a diagonal vector).
     """
     from curvlinops_tpu.utils.misc import FrozenModelFn
 
@@ -193,11 +195,13 @@ def kfac_restricted(apply_fn, params):
 
     def is_kfac(path, leaf):
         keys = [getattr(k, "key", str(k)) for k in path]
+        if any(str(k).startswith(("wte", "wpe", "emb")) for k in keys):
+            return include_embeddings
         supported = any(
             str(k).startswith(("conv", "fc", "dense", "attn", "mlp")) and
             not str(k).startswith("bn")
             for k in keys
-        ) and not any(str(k).startswith(("bn", "ln", "wte", "wpe")) for k in keys)
+        ) and not any(str(k).startswith(("bn", "ln")) for k in keys)
         return supported and all(d <= 50_000 for d in jnp.shape(leaf))
 
     kfac_flat = {

@@ -21,18 +21,21 @@ from curvlinops_tpu.ops.base import LinearOperator
 
 
 def stacked_kron_matmat(factors: list[jax.Array], M: jax.Array) -> jax.Array:
-    """Batched Kronecker matmat: factors ``[L, m_i, n_i]``, ``M [L*prod n, K]``."""
+    """Batched Kronecker matmat: factors ``[L, m_i, n_i]``, ``M [L*prod n, K]``.
 
-    def one(slice_factors, Ml):
-        K = Ml.shape[-1]
-        grid = tuple(S.shape[1] for S in slice_factors)
-        x = Ml.reshape(*grid, K)
-        for i, S in enumerate(slice_factors):
-            x = jnp.moveaxis(jnp.tensordot(S, x, axes=[[1], [i]]), 0, i)
-        return x.reshape(-1, K)
-
+    One explicit batched ``dot_general`` per factor. NOT ``vmap`` of the
+    per-slice contraction: on TPU that lowering measured ~2000x slower than
+    the direct batched form (7.5 s vs 4 ms for a 12-stack of GPT-2 qkv
+    eigenbasis matvecs).
+    """
     L, K = factors[0].shape[0], M.shape[-1]
-    return jax.vmap(one)(list(factors), M.reshape(L, -1, K)).reshape(-1, K)
+    grid = tuple(S.shape[2] for S in factors)
+    x = M.reshape(L, *grid, K)
+    for i, S in enumerate(factors):
+        # contract x's axis i+1 with S's column axis, batched over the stack
+        x = jax.lax.dot_general(S, x, (((2,), (i + 1,)), ((0,), (0,))))
+        x = jnp.moveaxis(x, 1, i + 1)
+    return x.reshape(-1, K)
 
 
 class StackedKroneckerOperator(LinearOperator):

@@ -153,6 +153,39 @@ def test_embedding_state_dict_roundtrip():
     report_nonclose(before["emb"], after["emb"], 1e-6, 1e-7, name="roundtrip")
 
 
+def test_gpt_kfac_with_embeddings():
+    """include_embeddings=True covers wte/wpe as diagonal-input KFAC groups."""
+    from functools import partial
+
+    from curvlinops_tpu.models.gpt import TINY_GPT, gpt_apply, init_gpt
+    from curvlinops_tpu.models.resnet import kfac_restricted
+
+    config = TINY_GPT
+    params = init_gpt(jax.random.key(0), config)
+    apply_fn = partial(gpt_apply, config=config)
+    tokens = jax.random.randint(jax.random.key(1), (2, config.block_size), 0,
+                                config.vocab_size)
+    y = jax.random.randint(
+        jax.random.key(2), (2 * config.block_size,), 0, config.vocab_size
+    )
+    fn, p = kfac_restricted(apply_fn, params, include_embeddings=True)
+    k = KFACLinearOperator(
+        fn, CrossEntropyLoss("mean"), p, [(tokens, y)],
+        fisher_type=FisherType.TYPE2, check_deterministic=False,
+    )
+    emb_groups = [g for g in k.groups if g.input_diag]
+    assert len(emb_groups) == 2  # wte + wpe
+    vt = jax.tree.map(lambda leaf: 0.01 * jnp.ones(leaf.shape), p)
+    r = k @ vt
+    assert all(
+        bool(jnp.isfinite(leaf).all()) for leaf in jax.tree.leaves(r)
+    )
+    ri = k.inverse(damping=0.1, use_exact_damping=True) @ vt
+    assert all(
+        bool(jnp.isfinite(leaf).all()) for leaf in jax.tree.leaves(ri)
+    )
+
+
 def test_embedding_refusals():
     """REDUCE, EKFAC, KFOC, embedding+head tying, and biased lookups refuse."""
     from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
