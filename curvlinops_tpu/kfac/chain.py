@@ -15,6 +15,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from curvlinops_tpu.ops.base import ChainLinearOperator, PytreeLinearOperator
 from curvlinops_tpu.ops.blockdiag import BlockDiagonalLinearOperator
@@ -23,13 +24,37 @@ from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator
 from curvlinops_tpu.utils.flatten import spec_of
 
 
-def batched_eigh(mats: dict) -> dict:
+def _mesh_sharded_eigh(stacked: jax.Array, mesh, data_axis: str):
+    """Eigh a ``[n, D, D]`` stack sharded over a mesh axis (pad + shard).
+
+    The per-matrix decompositions are independent, so sharding the stack
+    axis runs them concurrently across devices — the multi-chip answer to
+    eigh dominating exact-damped inversion / EKFAC builds.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n, D = stacked.shape[0], stacked.shape[1]
+    n_dev = mesh.shape[data_axis]
+    pad = (-n) % n_dev
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(D, dtype=stacked.dtype), (pad, D, D))
+        stacked = jnp.concatenate([stacked, eye])
+    sharding = NamedSharding(mesh, PartitionSpec(data_axis))
+    stacked = jax.device_put(stacked, sharding)
+    w, v = jax.jit(jnp.linalg.eigh, in_shardings=sharding)(stacked)
+    return (w[:n], v[:n]) if pad else (w, v)
+
+
+def batched_eigh(mats: dict, mesh=None, data_axis: str = "data") -> dict:
     """Eigendecompose a dict of symmetric matrices, batching equal shapes.
 
     A transformer's KFAC factors repeat the same few shapes across layers
     (e.g. 12x ``3072^2``); one vmapped ``eigh`` per shape replaces dozens of
     sequential dispatches — the dominant cost of exact-damped inversion and
-    EKFAC builds on TPU.
+    EKFAC builds on TPU. Values may themselves carry leading stack axes
+    (scan-stacked factors ``[L, D, D]``); with ``mesh`` given, each shape
+    batch is sharded over the mesh's ``data_axis`` so the independent
+    decompositions run concurrently across devices.
 
     Returns:
         ``{key: (eigenvalues, eigenvectors)}``.
@@ -39,6 +64,20 @@ def batched_eigh(mats: dict) -> dict:
         by_shape.setdefault(m.shape, []).append(k)
     out = {}
     for shape, keys in by_shape.items():
+        if mesh is not None:
+            D = shape[-1]
+            flat = jnp.concatenate(
+                [mats[k].reshape(-1, D, D) for k in keys]
+            )
+            w, v = _mesh_sharded_eigh(flat, mesh, data_axis)
+            lead = 0
+            for k in keys:
+                cnt = int(np.prod(mats[k].shape[:-2], dtype=np.int64)) or 1
+                wk = w[lead : lead + cnt].reshape(*mats[k].shape[:-2], D)
+                vk = v[lead : lead + cnt].reshape(mats[k].shape)
+                out[k] = (wk, vk)
+                lead += cnt
+            continue
         if len(keys) == 1:
             out[keys[0]] = jnp.linalg.eigh(mats[keys[0]])
             continue

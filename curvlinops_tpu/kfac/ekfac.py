@@ -57,8 +57,8 @@ class EKFACComputer(KFACComputer):
     def compute_ekfac(self) -> tuple[dict, dict, dict, list]:
         """Return ``(Q_a, Q_g, corrected_eigenvalues, groups)``."""
         aaT, ggT, groups = self.compute()
-        eig_a = batched_eigh(aaT)
-        eig_g = batched_eigh(ggT)
+        eig_a = batched_eigh(aaT, mesh=self.mesh, data_axis=self.data_axis)
+        eig_g = batched_eigh(ggT, mesh=self.mesh, data_axis=self.data_axis)
         Q_a = {gi: v for gi, (_, v) in eig_a.items()}
         Q_g = {gi: v for gi, (_, v) in eig_g.items()}
         # free the covariance stacks before the correction pass — only the

@@ -190,6 +190,7 @@ class KFACLinearOperator(KroneckerChainOperator):
         aaT, ggT, groups = computer.compute()
         self._build_from_factors(params, groups, aaT, ggT)
         self._computer = computer
+        self._mesh, self._data_axis = computer.mesh, computer.data_axis
 
     # ------------------------------------------------------------------ #
     def _build_from_factors(self, params, groups, aaT, ggT) -> None:
@@ -267,7 +268,11 @@ class KFACLinearOperator(KroneckerChainOperator):
                     if kind == "krond" and fi == 1:
                         continue  # diagonal factor: already its own spectrum
                     flat[(gi, fi)] = S
-            eig = batched_eigh(flat)
+            eig = batched_eigh(
+                flat,
+                mesh=getattr(self, "_mesh", None),
+                data_axis=getattr(self, "_data_axis", "data"),
+            )
             for gi in sorted(self._blocks_data):
                 kind, factors = self._blocks_data[gi]
                 if kind == "krond":

@@ -150,3 +150,46 @@ def test_ggn_diagonal_across_mesh(mesh):
     )
     for a, b in zip(jax.tree.leaves(single.diagonal), jax.tree.leaves(sharded.diagonal)):
         report_nonclose(b, a, rtol=1e-5, atol=1e-7)
+
+
+def test_mesh_distributed_eigh(mesh):
+    """batched_eigh with a mesh shards the stacks; results match unsharded."""
+    from curvlinops_tpu.kfac.chain import batched_eigh
+
+    key = jax.random.key(0)
+    mats = {}
+    for i, (n, d) in enumerate([(None, 6), (None, 6), (3, 4), (5, 4)]):
+        shape = (d, d) if n is None else (n, d, d)
+        A = jax.random.normal(jax.random.fold_in(key, i), shape)
+        mats[i] = A @ jnp.swapaxes(A, -1, -2) + 0.1 * jnp.eye(d)
+
+    plain = batched_eigh(mats)
+    sharded = batched_eigh(mats, mesh=mesh)
+    for k in mats:
+        report_nonclose(plain[k][0], sharded[k][0], 1e-5, 1e-6, name=f"w{k}")
+        # eigenvectors are sign-ambiguous; compare reconstructions
+        w_p, v_p = plain[k]
+        w_s, v_s = sharded[k]
+        rec_p = jnp.einsum("...ij,...j,...kj->...ik", v_p, w_p, v_p)
+        rec_s = jnp.einsum("...ij,...j,...kj->...ik", v_s, w_s, v_s)
+        report_nonclose(rec_p, rec_s, 1e-5, 1e-6, name=f"rec{k}")
+
+
+def test_kfac_exact_damped_inverse_across_mesh(mesh):
+    """Mesh-built KFAC's exact-damped inverse (sharded eigh) matches local."""
+    case = make_case("mlp_mse_mean")
+    X = jnp.concatenate([case["data"][0][0]] * 2)[:8]
+    y = jnp.concatenate([case["data"][0][1]] * 2)[:8]
+    data = [(X, y)]
+    kwargs = dict(fisher_type="type-2", check_deterministic=False)
+    k0 = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data, **kwargs
+    )
+    k8 = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data,
+        mesh=mesh, **kwargs
+    )
+    v = np.random.default_rng(0).standard_normal(k0.shape[0]).astype(np.float32)
+    r0 = k0.inverse(damping=0.1, use_exact_damping=True) @ v
+    r8 = k8.inverse(damping=0.1, use_exact_damping=True) @ v
+    report_nonclose(r0, r8, 1e-4, 1e-6, name="exact-damped inverse")
