@@ -38,11 +38,12 @@ class EKFACComputer(KFACComputer):
                 f"EKFAC supports fisher types {self._SUPPORTED_FISHER}, got "
                 f"{self.fisher_type}."
             )
-        if any(g.input_diag for g in self.groups):
-            raise ValueError(
-                "EKFAC does not support embedding layers; use KFAC (which "
-                "handles them exactly via diagonal input covariances)."
-            )
+        for g in self.groups:
+            if g.input_diag and g.uses[0].meta.get("scan") is not None:
+                raise ValueError(
+                    "EKFAC does not support embedding lookups inside a scan; "
+                    "use KFAC or hoist the lookup out of the scan."
+                )
         # EKFAC's per-sample gradients require independent per-datum loss
         # terms: reject >2d model output (computers/_base.py:329-353)
         X0, y0 = next(iter(self.data))
@@ -57,7 +58,13 @@ class EKFACComputer(KFACComputer):
     def compute_ekfac(self) -> tuple[dict, dict, dict, list]:
         """Return ``(Q_a, Q_g, corrected_eigenvalues, groups)``."""
         aaT, ggT, groups = self.compute()
-        eig_a = batched_eigh(aaT, mesh=self.mesh, data_axis=self.data_axis)
+        # embedding groups: the diagonal input covariance's eigenbasis is the
+        # identity — no eigh, and no Q_a entry (the chain stores Q_g only)
+        diag_gis = {gi for gi, g in enumerate(groups) if g.input_diag}
+        eig_a = batched_eigh(
+            {gi: v for gi, v in aaT.items() if gi not in diag_gis},
+            mesh=self.mesh, data_axis=self.data_axis,
+        )
         eig_g = batched_eigh(ggT, mesh=self.mesh, data_axis=self.data_axis)
         Q_a = {gi: v for gi, (_, v) in eig_a.items()}
         Q_g = {gi: v for gi, (_, v) in eig_g.items()}
@@ -155,7 +162,12 @@ class EKFACComputer(KFACComputer):
                     if len(g_parts) == 1
                     else jnp.concatenate(g_parts, axis=2)
                 )
-                if group.weight_path is None:
+                if group.input_diag:
+                    u = group.uses[0]
+                    lam = kmath.eigenvalue_correction_embedding(
+                        g, Q_g[gi], ios[u.layer_id], group.d_in
+                    )
+                elif group.weight_path is None:
                     lam = kmath.eigenvalue_correction(
                         g, Q_g[gi], None, None, force_strategy
                     )
@@ -210,12 +222,18 @@ class EKFACLinearOperator(KFACLinearOperator):
     def _rebuild_chain(self) -> None:
         blocks_data = {}
         for gi, group in enumerate(self._groups):
+            lam = self._lambdas[gi]
+            if group.input_diag:
+                blocks_data[gi] = (
+                    "eighd",
+                    (lam.reshape(group.d_out, group.d_in), self._Q_g[gi]),
+                )
+                continue
             Qs = (
                 [self._Q_g[gi], self._Q_a[gi]]
                 if gi in self._Q_a
                 else [self._Q_g[gi]]
             )
-            lam = self._lambdas[gi]
             if group.stack:
                 blocks_data[gi] = ("seigh", (lam.reshape(group.stack, -1), Qs))
             else:

@@ -21,7 +21,6 @@ reduction (``kfac_math.py:172-203``).
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp
@@ -351,6 +350,35 @@ def gradient_covariance(g: jax.Array, correction: float) -> jax.Array:
     if g.ndim == 5:
         return correction * jnp.einsum("lvbsi,lvbsj->lij", g, g)
     return correction * jnp.einsum("vbsi,vbsj->ij", g, g)
+
+
+def eigenvalue_correction_embedding(
+    g: jax.Array, Q_g: jax.Array, idx: jax.Array, vocab: int
+) -> jax.Array:
+    r"""EKFAC corrected eigenvalues for an embedding group.
+
+    The diagonal input covariance's eigenbasis is the identity, so
+    ``lam[d, v] = sum_{vec,n} ( sum_s (Q_g^T g_{vec,n,s})[d] 1[idx_{n,s}=v] )^2``
+    — a per-sample segment-sum over token ids instead of a dense rotation.
+
+    Args:
+        g: ``[V_vec, B, S, D1]`` output gradients (KFAC-scaled).
+        Q_g: ``[D1, D1]`` eigenvectors of the gradient covariance.
+        idx: wrapped token indices, ``[B, *share, 1]``.
+        vocab: vocabulary size (canonical input dim).
+
+    Returns:
+        ``[D1, vocab]`` correction.
+    """
+    Vv, B, S, D1 = g.shape
+    rot = jnp.einsum("id,vbsi->vbsd", Q_g, g)
+    ids = idx.reshape(B, S) + vocab * jnp.arange(B)[:, None]
+    seg = jax.ops.segment_sum(
+        jnp.moveaxis(rot, 0, 2).reshape(B * S, Vv * D1),
+        ids.reshape(-1),
+        num_segments=B * vocab,
+    ).reshape(B, vocab, Vv, D1)
+    return jnp.einsum("bvad,bvad->dv", seg, seg)
 
 
 def eigenvalue_correction(

@@ -68,7 +68,9 @@ def _block(params, x, n_head):
     return x + (h @ params["mlp_proj"]["W"] + params["mlp_proj"]["b"])
 
 
-def gpt_apply(params, tokens, *, config: GPTConfig) -> jax.Array:
+def gpt_apply(
+    params, tokens, *, config: GPTConfig, remat_blocks: bool = True
+) -> jax.Array:
     """Forward pass ``[B, T] int tokens -> [(B*T), vocab] flattened logits.
 
     Accepts either per-layer block params (``h0..h{n-1}`` keys, unrolled
@@ -76,6 +78,12 @@ def gpt_apply(params, tokens, *, config: GPTConfig) -> jax.Array:
     carry a leading ``n_layer`` axis, applied with ``lax.scan`` — the
     idiomatic TPU layer stack: one compiled block body instead of ``n_layer``
     inlined copies, and KFAC factors batched over the stack).
+
+    ``remat_blocks`` checkpoints the scanned block body (standard TPU
+    practice: reverse-mode through a scan otherwise keeps every iteration's
+    internals alive at once — HVP/GGN-VP kernels on the 124M model OOM a
+    single v5e chip without it). The KFAC collector inlines the remat
+    transparently.
     """
     B, T = tokens.shape
     pos = jnp.arange(T)
@@ -85,6 +93,8 @@ def gpt_apply(params, tokens, *, config: GPTConfig) -> jax.Array:
         def body(h, block_params):
             return _block(block_params, h, config.n_head), None
 
+        if remat_blocks:
+            body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, params["h"])
     else:
         for i in range(config.n_layer):

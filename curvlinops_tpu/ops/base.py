@@ -23,7 +23,6 @@ import numpy as np
 from curvlinops_tpu.utils.flatten import (
     make_ravel_unravel_cols,
     spec_dtype,
-    spec_of,
     spec_size,
     tree_add,
     tree_randn_like,

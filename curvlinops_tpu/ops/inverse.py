@@ -16,7 +16,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from curvlinops_tpu.ops.base import LinearOperator
 from curvlinops_tpu.solvers.cg import batched_cg

@@ -186,6 +186,67 @@ def test_gpt_kfac_with_embeddings():
     )
 
 
+def test_embedding_eigenvalue_correction_matches_dense():
+    """Segment-sum correction == dense correction with identity Q_a."""
+    from curvlinops_tpu.kfac import math as kmath
+
+    Vv, Bn, S, D1, vocab = 2, 4, 3, 5, 7
+    kg, ki, kq = jax.random.split(jax.random.key(0), 3)
+    g = jax.random.normal(kg, (Vv, Bn, S, D1))
+    idx = jax.random.randint(ki, (Bn, S, 1), 0, vocab)
+    Q = jnp.linalg.qr(jax.random.normal(kq, (D1, D1)))[0]
+
+    fast = kmath.eigenvalue_correction_embedding(g, Q, idx, vocab)
+    a = jax.nn.one_hot(idx[..., 0], vocab)  # [B, S, vocab]
+    dense = kmath.eigenvalue_correction(
+        g, Q, a, jnp.eye(vocab), "per_example_gradients"
+    )
+    report_nonclose(fast, dense, 1e-5, 1e-6, name="embedding correction")
+
+
+def test_embedding_ekfac_closer_than_kfac():
+    """George et al. 2018: EKFAC is Frobenius-closer to the exact GGN block
+    than KFAC in the same eigenbasis — holds for the embedding block too.
+
+    Uses single-position sequences: with weight sharing the corrected
+    eigenvalues are per-EXAMPLE (positions summed inside each sample,
+    reference ``layer_io.py:301-336``), whose cross terms break the per-row
+    optimality bound against the GGN target (same as the reference).
+    """
+    from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
+
+    from tests.utils import dense_ggn
+
+    params = _params()
+    kt, ky = jax.random.split(jax.random.key(1))
+    tokens = jax.random.randint(kt, (16, 1), 0, V)  # T=1: no sharing
+    y = jax.random.randint(ky, (16,), 0, D_OUT)
+    loss = CrossEntropyLoss("mean")
+    data = [(tokens, y)]
+    kw = dict(fisher_type=FisherType.TYPE2)
+    kfac = KFACLinearOperator(emb_model, loss, params, data, **kw)
+    ekfac = EKFACLinearOperator(emb_model, loss, params, data, **kw)
+    dense = np.asarray(dense_ggn(emb_model, loss, params, data))
+
+    k_dense = np.asarray(kfac.todense())
+    e_dense = np.asarray(ekfac.todense())
+    # compare on the block-diagonal projection (KFAC's target)
+    from tests.test_kfac import _leaf_ranges, blockdiag_projection
+
+    proj = blockdiag_projection(dense, params, kfac.groups)
+    gap_k = np.linalg.norm(k_dense - proj)
+    gap_e = np.linalg.norm(e_dense - proj)
+    assert gap_e <= gap_k + 1e-6, (gap_e, gap_k)
+
+    # inverse consistency in the eigenbasis
+    vt = jax.tree.map(
+        lambda leaf: jax.random.normal(jax.random.key(5), leaf.shape), params
+    )
+    r = ekfac.inverse(0.1) @ (ekfac @ vt)
+    # (E + 0.1)^-1 E v ~ v only for small damping; just check finiteness+shape
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(r))
+
+
 def test_embedding_refusals():
     """REDUCE, EKFAC, KFOC, embedding+head tying, and biased lookups refuse."""
     from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
@@ -200,9 +261,21 @@ def test_embedding_refusals():
             emb_model, loss, params, [(tokens, y)],
             fisher_type=FisherType.TYPE2, kfac_approx=KFACType.REDUCE,
         )
-    with pytest.raises(ValueError, match="embedding"):
+
+    # embedding lookups inside a scan: EKFAC refuses (KFAC supports shared)
+    def scan_emb_model(p, tokens):
+        def body(h, _):
+            return h + jnp.tanh(p["emb"][tokens]).mean(1), None
+
+        h0 = jnp.zeros((tokens.shape[0], C))
+        h, _ = jax.lax.scan(body, h0, None, length=2)
+        return h
+
+    y_c = jax.random.randint(jax.random.key(7), (B,), 0, C)
+    with pytest.raises(ValueError, match="scan"):
         EKFACLinearOperator(
-            emb_model, loss, params, [(tokens, y)], fisher_type=FisherType.TYPE2
+            scan_emb_model, loss, {"emb": params["emb"]}, [(tokens, y_c)],
+            fisher_type=FisherType.TYPE2,
         )
     with pytest.raises(ValueError, match="embedding"):
         KFOCLinearOperator(
