@@ -260,6 +260,10 @@ def main() -> None:
     if args.scan_blocks:
         suffix += "_scan"
     out_file = out_dir / f"{prob.name}{suffix}.json"
+    if out_file.exists():  # merge: partial runs must not drop earlier metrics
+        merged = json.loads(out_file.read_text())
+        merged.update(results)
+        results = merged
     out_file.write_text(json.dumps(results, indent=2))
     print(json.dumps(results, indent=2))
 
