@@ -17,6 +17,8 @@ EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
         "04_huggingface_interop.py",
         "05_submatrices_and_estimation.py",
         "06_model_merging.py",
+        "07_visual_tour.py",
+        "08_monte_carlo_fisher.py",
     ],
 )
 def test_example_runs(script, capsys):
