@@ -20,6 +20,26 @@ vectors already carry the ``1/sqrt(M)`` and per-feature reduction scalings
 key-threading: the operator's seed is folded with the batch index, so chained
 operators see identical samples — the determinism the reference gets from
 ``fork_rng`` + ``manual_seed`` (``ggn.py:323-341``).
+
+Example:
+    >>> import jax, jax.numpy as jnp
+    >>> from curvlinops_tpu import GGNLinearOperator, HessianLinearOperator
+    >>> from curvlinops_tpu.losses import MSELoss
+    >>> W = jax.random.normal(jax.random.key(0), (3, 5))
+    >>> X = jax.random.uniform(jax.random.key(1), (8, 5))
+    >>> y = jax.random.uniform(jax.random.key(2), (8, 3))
+    >>> model_fn = lambda params, x: x @ params["W"].T
+    >>> args = (model_fn, MSELoss("mean"), {"W": W}, [(X, y)])
+    >>> G, H = GGNLinearOperator(*args), HessianLinearOperator(*args)
+    >>> v = jax.random.normal(jax.random.key(3), (15,))
+    >>> # for a LINEAR model the GGN equals the Hessian
+    >>> bool(jnp.allclose(G @ v, H @ v, atol=1e-5))
+    True
+    >>> # MC Fisher: sampled grad-outputs, deterministic across matvecs
+    >>> F = GGNLinearOperator(*args, mc_samples=8, seed=0,
+    ...                       check_deterministic=False)
+    >>> bool(jnp.allclose(F @ v, F @ v))
+    True
 """
 
 from __future__ import annotations

@@ -10,6 +10,27 @@ free from ``jax.linear_transpose`` since they are orthonormal permutations.
 Matvecs after the one-time factor build touch no data: the whole chain
 (canonical converters + every Kronecker block) runs as ONE jitted
 factor-as-arguments program (``kfac/chain.py``).
+
+Example:
+    >>> import jax, jax.numpy as jnp
+    >>> from curvlinops_tpu import GGNLinearOperator, KFACLinearOperator
+    >>> from curvlinops_tpu.losses import MSELoss
+    >>> # single dense layer, ONE datum, type-2: KFAC is EXACTLY the GGN
+    >>> params = {"W": jax.random.normal(jax.random.key(0), (4, 3))}
+    >>> model_fn = lambda p, x: x @ p["W"]
+    >>> data = [(jax.random.uniform(jax.random.key(1), (1, 4)),
+    ...          jax.random.uniform(jax.random.key(2), (1, 3)))]
+    >>> kfac = KFACLinearOperator(model_fn, MSELoss("sum"), params, data,
+    ...                           fisher_type="type-2")
+    >>> ggn = GGNLinearOperator(model_fn, MSELoss("sum"), params, data)
+    >>> bool(jnp.allclose(kfac.todense(), ggn.todense(), atol=1e-5))
+    True
+    >>> # damped inverse: (KFAC + delta I)^{-1} (KFAC + delta I) v == v
+    >>> v = jax.random.normal(jax.random.key(3), (12,))
+    >>> inv = kfac.inverse(damping=1e-1, use_exact_damping=True)
+    >>> w = kfac @ v + 1e-1 * v
+    >>> bool(jnp.allclose(inv @ w, v, atol=1e-4))
+    True
 """
 
 from __future__ import annotations

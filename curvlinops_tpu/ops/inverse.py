@@ -8,6 +8,20 @@ GPyTorch / host SciPy, the iterations here run entirely on device
 Because an operator's ``_matmat`` composes jitted per-batch kernels, it is
 itself traceable: the whole Krylov solve — including every data batch of a
 curvature operator — compiles into ONE XLA program with zero host syncs.
+
+Example:
+    >>> import jax, jax.numpy as jnp
+    >>> from curvlinops_tpu import (CGInverseLinearOperator,
+    ...     NeumannInverseLinearOperator, MatrixLinearOperator)
+    >>> M = jax.random.normal(jax.random.key(0), (6, 6)) / 6
+    >>> A = MatrixLinearOperator(M @ M.T + jnp.eye(6))  # SPD
+    >>> v = jax.random.normal(jax.random.key(1), (6,))
+    >>> x = CGInverseLinearOperator(A, maxiter=50, tol=1e-9) @ v
+    >>> bool(jnp.allclose(A @ x, v, atol=1e-4))
+    True
+    >>> x = NeumannInverseLinearOperator(A, num_terms=400, scale=0.4) @ v
+    >>> bool(jnp.allclose(A @ x, v, atol=1e-3))
+    True
 """
 
 from __future__ import annotations

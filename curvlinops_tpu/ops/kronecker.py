@@ -9,6 +9,18 @@ heuristic split (arXiv:1503.05671 §6.3), and exact damping via per-factor
 eigendecompositions (``kronecker.py:250-326``). The damped Cholesky inverse
 retries in float64 when the fp32 factorization produces NaNs
 (``kronecker.py:328-373`` raises; XLA's cholesky returns NaN instead).
+
+Example:
+    >>> import jax, jax.numpy as jnp
+    >>> from curvlinops_tpu import KroneckerProductLinearOperator
+    >>> A = jax.random.normal(jax.random.key(0), (3, 3))
+    >>> B = jax.random.normal(jax.random.key(1), (4, 4))
+    >>> K = KroneckerProductLinearOperator(A, B)
+    >>> v = jax.random.normal(jax.random.key(2), (12,))
+    >>> bool(jnp.allclose(K @ v, jnp.kron(A, B) @ v, atol=1e-5))
+    True
+    >>> bool(jnp.allclose(K.trace(), jnp.trace(A) * jnp.trace(B), atol=1e-5))
+    True
 """
 
 from __future__ import annotations

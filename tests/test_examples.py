@@ -19,6 +19,7 @@ EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
         "06_model_merging.py",
         "07_visual_tour.py",
         "08_monte_carlo_fisher.py",
+        "09_mesh_scaleout.py",
     ],
 )
 def test_example_runs(script, capsys):

@@ -615,3 +615,28 @@ def test_collector_matches_scan_stacked_params():
     traced = TracedModel(model, params, X)
     assert len(traced.layers) == 1
     assert traced.layers[0].meta["scan"] == {"kind": "stacked", "length": 3}
+
+
+def test_kfac_state_dict_orbax_roundtrip(tmp_path):
+    """Factor state persists through an orbax checkpoint (TPU-native analogue
+    of the reference's torch.save/load test, ``test_kfac.py:1083``)."""
+    import orbax.checkpoint as ocp
+
+    case = _make_linear_case("mean")
+    kfac = KFACLinearOperator(
+        case["model_fn"],
+        case["loss_fn"],
+        case["params"],
+        case["data"],
+        fisher_type=FisherType.TYPE2,
+    )
+    v = np.random.default_rng(6).standard_normal(kfac.shape[0]).astype(np.float32)
+    before = kfac @ v
+
+    path = tmp_path / "kfac_ckpt"
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, kfac.state_dict())
+        restored = ckptr.restore(path)
+
+    kfac.load_state_dict(restored)
+    report_nonclose(kfac @ v, before, name="orbax roundtrip")

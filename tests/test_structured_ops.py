@@ -196,3 +196,50 @@ class TestSubmatrix:
             SubmatrixLinearOperator(A, [0, 9], [1])  # out of range
         with pytest.raises(ValueError):
             SubmatrixLinearOperator(A, [0.5], [1])  # non-integer
+
+
+class TestStackedKronecker:
+    """Direct oracle for the batched stacked Kronecker contraction."""
+
+    @pytest.mark.parametrize("dims", [[(3,)], [(3, 4)], [(2, 3, 2)]],
+                             ids=["k1", "k2", "k3"])
+    def test_matches_blockdiag_of_dense_krons(self, dims):
+        from curvlinops_tpu.ops.stacked import StackedKroneckerOperator
+
+        L = 3
+        keys = jax.random.split(jax.random.key(11), len(dims[0]))
+        factors = [
+            jax.random.normal(k, (L, n, n))
+            for k, n in zip(keys, dims[0])
+        ]
+        op = StackedKroneckerOperator(*factors)
+        blocks = []
+        for l in range(L):
+            dense = np.asarray(factors[0][l])
+            for S in factors[1:]:
+                dense = np.kron(dense, np.asarray(S[l]))
+            blocks.append(dense)
+        full = np.zeros((op.shape[0], op.shape[1]), np.float32)
+        off = 0
+        for b in blocks:
+            full[off:off + b.shape[0], off:off + b.shape[1]] = b
+            off += b.shape[0]
+        compare_matmat(op, full, rtol=1e-4, atol=1e-5)
+
+    def test_adjoint_and_trace(self):
+        from curvlinops_tpu.ops.stacked import StackedKroneckerOperator
+
+        A = jax.random.normal(jax.random.key(0), (2, 3, 3))
+        B = jax.random.normal(jax.random.key(1), (2, 4, 4))
+        op = StackedKroneckerOperator(A, B)
+        v = np.random.default_rng(0).standard_normal(op.shape[0]).astype("f")
+        w = np.random.default_rng(1).standard_normal(op.shape[0]).astype("f")
+        # <w, A v> == <A^T w, v>
+        lhs = float(np.dot(w, op @ v))
+        rhs = float(np.dot(np.asarray(op.adjoint() @ w), v))
+        assert abs(lhs - rhs) < 1e-3 * max(1.0, abs(lhs))
+        tr = sum(
+            float(np.trace(np.kron(np.asarray(A[l]), np.asarray(B[l]))))
+            for l in range(2)
+        )
+        assert abs(float(op.trace()) - tr) < 1e-4 * abs(tr)

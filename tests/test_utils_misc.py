@@ -10,12 +10,23 @@ import pytest
 from curvlinops_tpu.utils.misc import allclose_report, make_functional_call, split_list
 
 
-def test_doctests_hessian():
+@pytest.mark.parametrize(
+    "module_name",
+    [
+        "curvlinops_tpu.curvature.hessian",
+        "curvlinops_tpu.curvature.ggn",
+        "curvlinops_tpu.kfac.operator",
+        "curvlinops_tpu.ops.kronecker",
+        "curvlinops_tpu.ops.inverse",
+    ],
+)
+def test_doctests(module_name):
     """The library's worked examples must run (reference runs doctests in CI)."""
-    import curvlinops_tpu.curvature.hessian as mod
+    import importlib
 
+    mod = importlib.import_module(module_name)
     results = doctest.testmod(mod, verbose=False)
-    assert results.failed == 0, f"{results.failed} doctest failures in hessian"
+    assert results.failed == 0, f"{results.failed} doctest failures in {module_name}"
 
 
 def test_allclose_report(capsys):
