@@ -27,15 +27,21 @@ def stacked_kron_matmat(factors: list[jax.Array], M: jax.Array) -> jax.Array:
     per-slice contraction: on TPU that lowering measured ~2000x slower than
     the direct batched form (7.5 s vs 4 ms for a 12-stack of GPT-2 qkv
     eigenbasis matvecs).
+
+    The operand is kept in ``[L, K, grid...]`` order so each factor contracts
+    the leading grid axis (always axis 2) and its output dimension cycles to
+    the back — no per-factor relayout. Measured 5-11% faster than the
+    grid-order form with a ``moveaxis`` per factor, and 25-30% faster than an
+    unrolled per-slice loop, at the GPT-2 group shapes
+    (``benchmarks/micro_stacked_matvec.py``).
     """
     L, K = factors[0].shape[0], M.shape[-1]
     grid = tuple(S.shape[2] for S in factors)
-    x = M.reshape(L, *grid, K)
-    for i, S in enumerate(factors):
-        # contract x's axis i+1 with S's column axis, batched over the stack
-        x = jax.lax.dot_general(S, x, (((2,), (i + 1,)), ((0,), (0,))))
-        x = jnp.moveaxis(x, 1, i + 1)
-    return x.reshape(-1, K)
+    x = jnp.moveaxis(M.reshape(L, *grid, K), -1, 1)  # [L, K, g_1..g_k]
+    for S in factors:
+        # out[l, K, g_2.., m] = sum_g x[l, K, g, g_2..] S[l, m, g]
+        x = jax.lax.dot_general(x, S, (((2,), (2,)), ((0,), (0,))))
+    return jnp.moveaxis(x, 1, -1).reshape(-1, K)
 
 
 class StackedKroneckerOperator(LinearOperator):
