@@ -193,3 +193,22 @@ def test_kfac_exact_damped_inverse_across_mesh(mesh):
     r0 = k0.inverse(damping=0.1, use_exact_damping=True) @ v
     r8 = k8.inverse(damping=0.1, use_exact_damping=True) @ v
     report_nonclose(r0, r8, 1e-4, 1e-6, name="exact-damped inverse")
+
+
+def test_kfoc_across_mesh(mesh):
+    from curvlinops_tpu.kfac.kfoc import KFOCLinearOperator
+
+    case = make_case("mlp_ce_mean", seed=7)
+    X = jnp.concatenate([case["data"][0][0]] * 2)[:8]
+    y = jnp.concatenate([case["data"][0][1]] * 2)[:8]
+    data = [(X, y)]
+    kw = dict(fisher_type="type-2", check_deterministic=False)
+    single = KFOCLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data, **kw
+    )
+    sharded = KFOCLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data, mesh=mesh, **kw
+    )
+    v = np.random.default_rng(3).standard_normal(single.shape[0]).astype(np.float32)
+    report_nonclose(sharded @ v, single @ v, rtol=1e-4, atol=1e-6,
+                    name="kfoc mesh matvec")
