@@ -21,7 +21,7 @@ ROWS = [
     ("Hessian matvec · MNIST MLP", 1.79, 0.12),
     ("Empirical Fisher matvec · ResNet-18", 16.8, 1.59),
     ("GGN matvec · ResNet-18", 16.0, 1.58),
-    ("KFAC matvec · nanoGPT 124M", 36.0, 5.8),
+    ("KFAC matvec · nanoGPT 124M", 36.0, 5.15),
     ("KFAC matvec · ResNet-18", 4.9, 0.83),
     ("GGN matvec · nanoGPT 124M", 433.0, 104.9),
     ("Empirical Fisher matvec · nanoGPT 124M", 464.0, 127.1),

@@ -88,13 +88,9 @@ def batched_eigh(mats: dict, mesh=None, data_axis: str = "data") -> dict:
 
 
 def _kron_matmat(factors: list[jax.Array], M: jax.Array) -> jax.Array:
-    """Kronecker-product matmat via per-axis contractions (``ops/kronecker.py``)."""
-    K = M.shape[-1]
-    grid = tuple(S.shape[1] for S in factors)
-    x = M.reshape(*grid, K)
-    for i, S in enumerate(factors):
-        x = jnp.moveaxis(jnp.tensordot(S, x, axes=[[1], [i]]), 0, i)
-    return x.reshape(-1, K)
+    from curvlinops_tpu.ops.kronecker import kron_matmat
+
+    return kron_matmat(factors, M)
 
 
 def _kron_matmat_T(factors: list[jax.Array], M: jax.Array) -> jax.Array:

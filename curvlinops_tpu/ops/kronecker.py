@@ -35,6 +35,24 @@ from curvlinops_tpu.ops.base import LinearOperator
 from curvlinops_tpu.ops.eigh import EighDecomposedLinearOperator
 
 
+def kron_matmat(factors: list[jax.Array], M: jax.Array) -> jax.Array:
+    """``(S_1 (x) ... (x) S_k) M`` for factors ``[m_i, n_i]``, ``M [prod n, K]``.
+
+    K-leading operand order: every factor contracts the leading grid axis
+    (always axis 1) and its output dimension cycles to the back, so the loop
+    needs no per-factor relayout (the unbatched form of
+    :func:`curvlinops_tpu.ops.stacked.stacked_kron_matmat`; A/B in
+    ``benchmarks/micro_stacked_matvec.py``).
+    """
+    K = M.shape[-1]
+    grid = tuple(S.shape[1] for S in factors)
+    x = jnp.moveaxis(M.reshape(*grid, K), -1, 0)  # [K, g_1..g_k]
+    for S in factors:
+        # out[K, g_2.., m] = sum_g x[K, g, g_2..] S[m, g]
+        x = jax.lax.dot_general(x, S, (((1,), (1,)), ((), ())))
+    return jnp.moveaxis(x, 0, -1).reshape(-1, K)
+
+
 def damped_cholesky_inverse(
     A: jax.Array, damping: float, retry_double_precision: bool = True
 ) -> jax.Array:
@@ -91,12 +109,7 @@ class KroneckerProductLinearOperator(LinearOperator):
         return self._factors
 
     def _matmat(self, M: jax.Array) -> jax.Array:
-        K = M.shape[-1]
-        grid = tuple(S.shape[1] for S in self._factors)
-        x = M.reshape(*grid, K)
-        for i, S in enumerate(self._factors):
-            x = jnp.moveaxis(jnp.tensordot(S, x, axes=[[1], [i]]), 0, i)
-        return x.reshape(-1, K)
+        return kron_matmat(self._factors, M)
 
     def _adjoint(self) -> "KroneckerProductLinearOperator":
         return KroneckerProductLinearOperator(
