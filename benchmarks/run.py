@@ -118,11 +118,14 @@ def bench_kfac(prob, results: dict) -> None:
         check_deterministic=False,
     )
     jax.block_until_ready((kfac._aaT, kfac._ggT))
-    # second pass reuses the compiled per-batch-shape kernel: steady-state time
-    t0 = time.perf_counter()
-    aaT, ggT, _ = kfac._computer.compute()
-    jax.block_until_ready((aaT, ggT))
-    results["KFAC factors (s)"] = round(time.perf_counter() - t0, 4)
+    # repeat passes reuse the compiled per-batch-shape kernel: min steady-state
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        aaT, ggT, _ = kfac._computer.compute()
+        jax.block_until_ready((aaT, ggT))
+        best = min(best, time.perf_counter() - t0)
+    results["KFAC factors (s)"] = round(best, 4)
 
     M = jax.tree.map(
         lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), prob.kfac_params
