@@ -110,11 +110,11 @@ def main() -> None:
         "mlp_proj": (768, 3073),
     }
     L = 12
-    for name, (dg, da) in groups.items():
-        kg, ka, km = jax.random.split(jax.random.fold_in(key, hash(name) % 2**31), 3)
+    for gi, (name, (dg, da)) in enumerate(groups.items()):
+        kg, ka, kl, km = jax.random.split(jax.random.fold_in(key, gi), 4)
         Qg = jax.random.normal(kg, (L, dg, dg), jnp.float32) / dg**0.5
         Qa = jax.random.normal(ka, (L, da, da), jnp.float32) / da**0.5
-        lam = jnp.abs(jax.random.normal(km, (L, dg * da), jnp.float32)) + 0.1
+        lam = jnp.abs(jax.random.normal(kl, (L, dg * da), jnp.float32)) + 0.1
         M = jax.random.normal(km, (L * dg * da, 1), jnp.float32)
         for tag, km_fn in (("A", kron_matmat_A), ("B", kron_matmat_B), ("C", kron_matmat_C)):
             ms = timed_chain(

@@ -118,12 +118,14 @@ def bench_kfac(prob, results: dict) -> None:
         check_deterministic=False,
     )
     jax.block_until_ready((kfac._aaT, kfac._ggT))
-    # repeat passes reuse the compiled per-batch-shape kernel: min steady-state
+    # repeat passes reuse the compiled per-batch-shape kernel: min steady-state,
+    # each rep bounded by a host scalar readback (block_until_ready alone has
+    # returned early on this runtime — CLAUDE.md)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         aaT, ggT, _ = kfac._computer.compute()
-        jax.block_until_ready((aaT, ggT))
+        float(jnp.sum(jax.tree.leaves(ggT)[0]))
         best = min(best, time.perf_counter() - t0)
     results["KFAC factors (s)"] = round(best, 4)
 
@@ -133,12 +135,18 @@ def bench_kfac(prob, results: dict) -> None:
     ms, _ = _timed_chain(lambda m: kfac._matmat(m), M, jit=False)
     results["KFAC matvec (ms)"] = round(ms, 3)
 
+    def _readback(tree) -> None:
+        # host scalar readback as the completion barrier (CLAUDE.md)
+        for leaf in jax.tree.leaves(tree):
+            if isinstance(leaf, jax.Array):
+                float(jnp.sum(jnp.abs(leaf[..., -1])))
+
     # warm up the eigh compiles once, then time the steady-state build
     inv = kfac.inverse(damping=1e-3, use_exact_damping=True)
-    jax.block_until_ready(list(inv._blocks_data.values()))
+    _readback(list(inv._blocks_data.values()))
     t0 = time.perf_counter()
     inv = kfac.inverse(damping=1e-3, use_exact_damping=True)
-    jax.block_until_ready(list(inv._blocks_data.values()))
+    _readback(list(inv._blocks_data.values()))
     results["KFAC exact-damped inverse build (s)"] = round(
         time.perf_counter() - t0, 4
     )
@@ -173,7 +181,9 @@ def bench_ekfac(prob, results: dict) -> None:
     del ekfac, M
     t0 = time.perf_counter()
     out = computer.compute_ekfac()
-    jax.block_until_ready(out[:3])
+    for leaf in jax.tree.leaves(out[:3]):
+        if isinstance(leaf, jax.Array):  # host readback barrier
+            float(jnp.sum(jnp.abs(leaf[..., -1])))
     results["EKFAC build (s)"] = round(time.perf_counter() - t0, 4)
 
 

@@ -17,6 +17,7 @@ from curvlinops_tpu.curvature.jacobian import (
     TransposedJacobianLinearOperator,
 )
 from curvlinops_tpu.curvature.loss_hessian import FisherType, KFACType
+from curvlinops_tpu import parallel
 from curvlinops_tpu.estimators.diagonal import hutchinson_diag, xdiag
 from curvlinops_tpu.estimators.norm import hutchinson_squared_fro
 from curvlinops_tpu.estimators.trace import hutchinson_trace, hutchpp_trace, xtrace

@@ -20,7 +20,8 @@ import numpy as np
 from curvlinops_tpu.ops.base import ChainLinearOperator, PytreeLinearOperator
 from curvlinops_tpu.ops.blockdiag import BlockDiagonalLinearOperator
 from curvlinops_tpu.ops.eigh import EighDecomposedLinearOperator
-from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator
+from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator, kron_matmat
+from curvlinops_tpu.ops.stacked import stacked_kron_matmat
 from curvlinops_tpu.utils.flatten import spec_of
 
 
@@ -87,24 +88,12 @@ def batched_eigh(mats: dict, mesh=None, data_axis: str = "data") -> dict:
     return out
 
 
-def _kron_matmat(factors: list[jax.Array], M: jax.Array) -> jax.Array:
-    from curvlinops_tpu.ops.kronecker import kron_matmat
-
-    return kron_matmat(factors, M)
-
-
 def _kron_matmat_T(factors: list[jax.Array], M: jax.Array) -> jax.Array:
-    return _kron_matmat([S.T for S in factors], M)
-
-
-def _stacked_kron_matmat(factors: list[jax.Array], M: jax.Array) -> jax.Array:
-    from curvlinops_tpu.ops.stacked import stacked_kron_matmat
-
-    return stacked_kron_matmat(factors, M)
+    return kron_matmat([S.T for S in factors], M)
 
 
 def _stacked_kron_matmat_T(factors: list[jax.Array], M: jax.Array) -> jax.Array:
-    return _stacked_kron_matmat([jnp.swapaxes(S, -1, -2) for S in factors], M)
+    return stacked_kron_matmat([jnp.swapaxes(S, -1, -2) for S in factors], M)
 
 
 def _batched_damped_cholesky_inverse(
@@ -279,14 +268,14 @@ class KroneckerChainOperator(ChainLinearOperator):
                 for bi, gi in enumerate(sorted(kinds)):
                     comp = cols[bi]  # [block_size, K]
                     if kinds[gi] == "kron":
-                        out.append(_kron_matmat(block_arrays[gi], comp))
+                        out.append(kron_matmat(block_arrays[gi], comp))
                     elif kinds[gi] == "skron":
-                        out.append(_stacked_kron_matmat(block_arrays[gi], comp))
+                        out.append(stacked_kron_matmat(block_arrays[gi], comp))
                     elif kinds[gi] == "seigh":
                         lam, Qs = block_arrays[gi]
                         W = _stacked_kron_matmat_T(Qs, comp)
                         W = lam.reshape(-1)[:, None] * W
-                        out.append(_stacked_kron_matmat(Qs, W))
+                        out.append(stacked_kron_matmat(Qs, W))
                     elif kinds[gi] == "krond":
                         G, d = block_arrays[gi]
                         K = comp.shape[-1]
@@ -304,7 +293,7 @@ class KroneckerChainOperator(ChainLinearOperator):
                         lam, Qs = block_arrays[gi]
                         W = _kron_matmat_T(Qs, comp)
                         W = lam.reshape(-1)[:, None] * W
-                        out.append(_kron_matmat(Qs, W))
+                        out.append(kron_matmat(Qs, W))
                 return jax.vmap(from_c, in_axes=-1, out_axes=-1)(tuple(out))
 
             self._jit_apply = apply

@@ -11,6 +11,7 @@ Run: ``python examples/07_visual_tour.py`` (writes ``visual_tour.png``
 next to this file; skips the figure when matplotlib is unavailable).
 """
 
+import os
 import pathlib
 
 import jax
@@ -99,7 +100,11 @@ def main():
         ax.set_title(name, fontsize=11)
         ax.set_xticks([]), ax.set_yticks([])
     fig.colorbar(img, ax=axes, shrink=0.8, label=r"$\log_{10}|A_{ij}|$")
-    out = pathlib.Path(__file__).parent / "visual_tour.png"
+    # VISUAL_TOUR_OUT lets the test suite render to a temp dir instead of
+    # dirtying the committed figure
+    out = pathlib.Path(
+        os.environ.get("VISUAL_TOUR_OUT", pathlib.Path(__file__).parent)
+    ) / "visual_tour.png"
     fig.savefig(out, dpi=120, bbox_inches="tight")
     plt.close(fig)
     print(f"figure written to {out}")

@@ -66,8 +66,9 @@ def main():
 
     # large models: shard parameters over a second (model) axis
     if n_dev >= 4:
-        mesh2 = make_mesh(n_dev, axis_names=("data", "model"),
-                          shape=(n_dev // 2, 2))
+        n_even = (n_dev // 4) * 4  # even data x model grid, odd counts excluded
+        mesh2 = make_mesh(n_even, axis_names=("data", "model"),
+                          shape=(n_even // 2, 2))
         sharded_p = shard_params(params, mesh2, min_size=64)
         op = cl.GGNLinearOperator(model_fn, loss_fn, sharded_p, data,
                                   mesh=mesh2, check_deterministic=False)

@@ -22,7 +22,9 @@ EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
         "09_mesh_scaleout.py",
     ],
 )
-def test_example_runs(script, capsys):
+def test_example_runs(script, capsys, tmp_path, monkeypatch):
+    # figures render to a temp dir so the suite never dirties committed assets
+    monkeypatch.setenv("VISUAL_TOUR_OUT", str(tmp_path))
     runpy.run_path(str(EXAMPLES / script), run_name="__main__")
     out = capsys.readouterr().out
     assert out.strip(), f"{script} produced no output"
