@@ -17,12 +17,13 @@ import matplotlib.pyplot as plt
 # (label, reference ms [RTX A6000, torch.compile, BASELINE.md],
 #  ours ms [1x TPU v5e, float32, benchmarks/results/*.json])
 ROWS = [
-    ("KFAC factor build · nanoGPT 124M", 330.0, 11.0),
     ("Hessian matvec · MNIST MLP", 1.79, 0.12),
     ("Empirical Fisher matvec · ResNet-18", 16.8, 1.59),
     ("GGN matvec · ResNet-18", 16.0, 1.58),
-    ("KFAC matvec · nanoGPT 124M", 36.0, 5.15),
-    ("KFAC matvec · ResNet-18", 4.9, 0.83),
+    ("MC-Fisher matvec · ResNet-18", 20.9, 2.30),
+    ("EKFAC matvec · nanoGPT 124M", 65.7, 8.57),
+    ("KFAC matvec · nanoGPT 124M", 36.0, 5.13),
+    ("EKFAC matvec · ResNet-50", 17.0, 2.52),
     ("GGN matvec · nanoGPT 124M", 433.0, 104.9),
     ("Empirical Fisher matvec · nanoGPT 124M", 464.0, 127.1),
     ("Hessian matvec · nanoGPT 124M", 593.0, 168.8),
