@@ -272,3 +272,23 @@ class EKFACLinearOperator(KFACLinearOperator):
             int(k): jnp.asarray(v) for k, v in state["lambdas"].items()
         }
         self._rebuild_chain()
+
+    @classmethod
+    def from_state_dict(
+        cls, state: dict, model_fn, loss_fn, params, data, **kwargs
+    ) -> "EKFACLinearOperator":
+        """Rebuild from checkpointed eigenbases/eigenvalues without the two
+        data passes (see :meth:`KFACLinearOperator.from_state_dict`)."""
+        kwargs.setdefault("check_deterministic", False)
+        force_strategy = kwargs.pop("force_strategy", None)
+        self = cls.__new__(cls)
+        computer = EKFACComputer(
+            model_fn, loss_fn, params, data, force_strategy=force_strategy,
+            **kwargs,
+        )
+        self._params, self._groups = params, computer.groups
+        self._computer = computer
+        self._mesh = computer.mesh
+        self._data_axis = computer.data_axis
+        self.load_state_dict(state)
+        return self

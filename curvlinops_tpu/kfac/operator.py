@@ -365,3 +365,25 @@ class KFACLinearOperator(KroneckerChainOperator):
         aaT = {int(k): jnp.asarray(v) for k, v in state["aaT"].items()}
         ggT = {int(k): jnp.asarray(v) for k, v in state["ggT"].items()}
         self._build_from_factors(self._params, self._groups, aaT, ggT)
+
+    @classmethod
+    def from_state_dict(
+        cls, state: dict, model_fn: Callable, loss_fn, params: Any, data, **kwargs
+    ) -> "KFACLinearOperator":
+        """Rebuild an operator from checkpointed factors without recomputing.
+
+        The reference restores a pickled operator with its factors inline
+        (``torch.load``, ``test_kfac.py:1083``); this is the functional
+        equivalent. ``data`` is still traced for layer discovery and dataset
+        statistics, but NO curvature accumulation pass runs. Determinism
+        checking defaults to off (nothing stochastic is computed).
+        """
+        kwargs.setdefault("check_deterministic", False)
+        self = cls.__new__(cls)
+        computer = KFACComputer(model_fn, loss_fn, params, data, **kwargs)
+        aaT = {int(k): jnp.asarray(v) for k, v in state["aaT"].items()}
+        ggT = {int(k): jnp.asarray(v) for k, v in state["ggT"].items()}
+        self._build_from_factors(params, computer.groups, aaT, ggT)
+        self._computer = computer
+        self._mesh, self._data_axis = computer.mesh, computer.data_axis
+        return self

@@ -640,3 +640,40 @@ def test_kfac_state_dict_orbax_roundtrip(tmp_path):
 
     kfac.load_state_dict(restored)
     report_nonclose(kfac @ v, before, name="orbax roundtrip")
+
+
+def test_kfac_from_state_dict():
+    """Restore an operator from checkpointed factors WITHOUT recomputation
+    (functional torch.load parity)."""
+    case = _make_linear_case("mean")
+    args = (case["model_fn"], case["loss_fn"], case["params"], case["data"])
+    kfac = KFACLinearOperator(*args, fisher_type=FisherType.TYPE2)
+    v = np.random.default_rng(7).standard_normal(kfac.shape[0]).astype(np.float32)
+    expected = kfac @ v
+
+    state = jax.tree.map(np.asarray, kfac.state_dict())
+    restored = KFACLinearOperator.from_state_dict(
+        state, *args, fisher_type=FisherType.TYPE2
+    )
+    report_nonclose(restored @ v, expected, name="from_state_dict matvec")
+    inv = restored.inverse(damping=0.1, use_exact_damping=True)
+    report_nonclose(
+        inv @ (np.asarray(expected) + 0.1 * v), v, rtol=1e-3, atol=1e-4,
+        name="from_state_dict inverse",
+    )
+
+
+def test_ekfac_from_state_dict():
+    from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
+
+    case = _make_linear_case("mean")
+    args = (case["model_fn"], case["loss_fn"], case["params"], case["data"])
+    ekfac = EKFACLinearOperator(*args, fisher_type=FisherType.TYPE2,
+                                check_deterministic=False)
+    v = np.random.default_rng(8).standard_normal(ekfac.shape[0]).astype(np.float32)
+    expected = ekfac @ v
+    state = jax.tree.map(np.asarray, ekfac.state_dict())
+    restored = EKFACLinearOperator.from_state_dict(
+        state, *args, fisher_type=FisherType.TYPE2
+    )
+    report_nonclose(restored @ v, expected, name="ekfac from_state_dict")
