@@ -15,7 +15,7 @@ from jax.experimental.sparse.linalg import lobpcg_standard
 
 def topk_eigenpairs(
     A, k: int, *, maxiter: int = 100, tol: float | None = None,
-    key: jax.Array | None = None,
+    key: jax.Array | None = None, jit: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Largest-``k`` eigenpairs of a symmetric PSD operator via LOBPCG.
 
@@ -25,6 +25,13 @@ def topk_eigenpairs(
         maxiter: LOBPCG iteration cap.
         tol: Residual tolerance (library default when ``None``).
         key: PRNG key for the start block.
+        jit: Compile the WHOLE LOBPCG loop (including every operator matmat)
+            into one XLA program. Without it each of the ``maxiter``
+            iterations pays eager dispatch + convergence-check syncs — on a
+            latency-heavy runtime that dominates (measured 40 s vs seconds
+            for k=5 on a ResNet-18 GGN). The operator's data/params are
+            baked into the compiled program as constants; pass ``jit=False``
+            only if that is prohibitive for your compile path.
 
     Returns:
         ``(eigenvalues [k] descending, eigenvectors [dim, k])``.
@@ -36,9 +43,12 @@ def topk_eigenpairs(
     def matmat(X):
         return A @ X
 
-    evals, evecs, _ = lobpcg_standard(matmat, X0, m=maxiter, tol=tol)
-    order = jnp.argsort(evals)[::-1]
-    return evals[order], evecs[:, order]
+    def solve(X0):
+        evals, evecs, _ = lobpcg_standard(matmat, X0, m=maxiter, tol=tol)
+        order = jnp.argsort(evals)[::-1]
+        return evals[order], evecs[:, order]
+
+    return jax.jit(solve)(X0) if jit else solve(X0)
 
 
 def smallest_eigenvalue(
