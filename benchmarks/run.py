@@ -117,15 +117,20 @@ def bench_kfac(prob, results: dict) -> None:
         mc_samples=1,
         check_deterministic=False,
     )
+    def _readback(tree) -> None:
+        # host scalar readback on EVERY leaf as the completion barrier
+        # (block_until_ready alone has returned early on this runtime)
+        for leaf in jax.tree.leaves(tree):
+            if isinstance(leaf, jax.Array):
+                float(jnp.sum(jnp.abs(leaf[..., -1])))
+
     jax.block_until_ready((kfac._aaT, kfac._ggT))
-    # repeat passes reuse the compiled per-batch-shape kernel: min steady-state,
-    # each rep bounded by a host scalar readback (block_until_ready alone has
-    # returned early on this runtime — CLAUDE.md)
+    # repeat passes reuse the compiled per-batch-shape kernel: min steady-state
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         aaT, ggT, _ = kfac._computer.compute()
-        float(jnp.sum(jax.tree.leaves(ggT)[0]))
+        _readback((aaT, ggT))
         best = min(best, time.perf_counter() - t0)
     results["KFAC factors (s)"] = round(best, 4)
 
@@ -134,12 +139,6 @@ def bench_kfac(prob, results: dict) -> None:
     )
     ms, _ = _timed_chain(lambda m: kfac._matmat(m), M, jit=False)
     results["KFAC matvec (ms)"] = round(ms, 3)
-
-    def _readback(tree) -> None:
-        # host scalar readback as the completion barrier (CLAUDE.md)
-        for leaf in jax.tree.leaves(tree):
-            if isinstance(leaf, jax.Array):
-                float(jnp.sum(jnp.abs(leaf[..., -1])))
 
     # warm up the eigh compiles once, then time the steady-state build
     inv = kfac.inverse(damping=1e-3, use_exact_damping=True)

@@ -190,9 +190,20 @@ class KFOCComputer(KFACComputer):
                 first[gi], second[gi] = S_1, S_2
             return first, second
 
+        run_params = self.params
+        if self.mesh is not None:
+            # data-parallel build: shard the (single) batch over the mesh's
+            # data axis with replicated params; GSPMD partitions the
+            # per-sample-gradient einsums and inserts the batch-sum psums
+            from curvlinops_tpu.parallel.mesh import replicate, shard_batch
+
+            run_params = replicate(self.params, self.mesh)
+            X = shard_batch(X, self.mesh, self.data_axis)
+            y = shard_batch(y, self.mesh, self.data_axis)
+
         first, second = kernel(
             self.frozen,
-            self.params,
+            run_params,
             X,
             y,
             jax.random.key(self.seed),

@@ -379,6 +379,9 @@ class KFACLinearOperator(KroneckerChainOperator):
         checking defaults to off (nothing stochastic is computed).
         """
         kwargs.setdefault("check_deterministic", False)
+        backend = kwargs.pop("backend", "jaxpr")  # constructor-parity kwarg
+        if backend not in ("jaxpr",):
+            raise ValueError(f"Invalid backend {backend!r}.")
         self = cls.__new__(cls)
         computer = KFACComputer(model_fn, loss_fn, params, data, **kwargs)
         aaT = {int(k): jnp.asarray(v) for k, v in state["aaT"].items()}

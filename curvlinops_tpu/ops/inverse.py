@@ -47,6 +47,13 @@ def _neumann_step(term: Any, PAt: Any, result: Any, scale: jax.Array):
     return new_term, tree_add(result, new_term), flag
 
 
+@jax.jit
+def _neumann_step_unchecked(term: Any, PAt: Any, result: Any, scale: jax.Array):
+    """The fused update without the NaN reduction (``check_nan=False``)."""
+    new_term = jax.tree.map(lambda t, pat: t - scale * pat, term, PAt)
+    return new_term, tree_add(result, new_term)
+
+
 class CGInverseLinearOperator(LinearOperator):
     """``A^{-1}`` via on-device batched conjugate gradients."""
 
@@ -202,15 +209,20 @@ class NeumannInverseLinearOperator(LinearOperator):
         nan_flags = []  # per-term device booleans; ONE readback after the loop
         scale = jnp.asarray(self._scale)
         for _ in range(1, self._num_terms + 1):
-            # term <- (I - scale * P A) term; the update + NaN flag run as ONE
-            # jitted dispatch, and the flag stays ON DEVICE — a host readback
-            # (or ~190 tiny eager ops) per term would serialize the async
-            # dispatch chain (on a remote-TPU runtime that measured 178 s for
-            # 100 terms on ResNet-18; fused: ~2 s)
+            # term <- (I - scale * P A) term; the update (+ NaN flag when
+            # checking) runs as ONE jitted dispatch, and the flag stays ON
+            # DEVICE — a host readback (or ~190 tiny eager ops) per term
+            # would serialize the async dispatch chain (on a remote-TPU
+            # runtime that measured 178 s for 100 terms on ResNet-18;
+            # fused: 10.4 s, the remainder being the operator's own
+            # per-term dispatches)
             PAt = apply_P(self._A._matmat(term))
-            term, result, flag = _neumann_step(term, PAt, result, scale)
-            nan_flags.append(flag)
-        if self._check_nan:
+            if self._check_nan:
+                term, result, flag = _neumann_step(term, PAt, result, scale)
+                nan_flags.append(flag)
+            else:
+                term, result = _neumann_step_unchecked(term, PAt, result, scale)
+        if nan_flags:
             first_bad = int(jnp.argmax(jnp.stack(nan_flags)))
             if bool(nan_flags[first_bad]):
                 raise ValueError(

@@ -15,7 +15,7 @@ from jax.experimental.sparse.linalg import lobpcg_standard
 
 def topk_eigenpairs(
     A, k: int, *, maxiter: int = 100, tol: float | None = None,
-    key: jax.Array | None = None, jit: bool = True,
+    key: jax.Array | None = None, jit: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Largest-``k`` eigenpairs of a symmetric PSD operator via LOBPCG.
 
@@ -26,12 +26,14 @@ def topk_eigenpairs(
         tol: Residual tolerance (library default when ``None``).
         key: PRNG key for the start block.
         jit: Compile the WHOLE LOBPCG loop (including every operator matmat)
-            into one XLA program. Without it each of the ``maxiter``
-            iterations pays eager dispatch + convergence-check syncs — on a
-            latency-heavy runtime that dominates (measured 40 s vs seconds
-            for k=5 on a ResNet-18 GGN). The operator's data/params are
-            baked into the compiled program as constants; pass ``jit=False``
-            only if that is prohibitive for your compile path.
+            into one XLA program, removing per-iteration dispatch and
+            convergence-check host syncs (measured ~10% on a ResNet-18 GGN,
+            k=5 — most of LOBPCG's cost is genuine matmat compute on the
+            3k-column search block). Off by default: the operator's
+            data/params are baked into the compiled program as closure
+            constants (no ``FrozenModelFn`` plumbing through a generic
+            operator), which remote-compile services may reject for large
+            models, and the wrapper recompiles on every call.
 
     Returns:
         ``(eigenvalues [k] descending, eigenvectors [dim, k])``.

@@ -102,3 +102,14 @@ def test_neumann_with_preconditioner():
     )
     b = np.random.default_rng(6).standard_normal(4).astype(np.float32)
     report_nonclose(inv @ b, b / np.asarray(d), rtol=1e-5, atol=1e-6)
+
+
+def test_neumann_zero_terms_is_identity_scale():
+    """num_terms=0 keeps only the k=0 term: scale * M (regression: the
+    on-device NaN-flag path must not require at least one term)."""
+    import curvlinops_tpu as cl
+
+    A = cl.MatrixLinearOperator(jnp.eye(4) * 2.0)
+    v = np.arange(4.0, dtype=np.float32)
+    out = cl.NeumannInverseLinearOperator(A, num_terms=0, scale=0.25) @ v
+    assert np.allclose(out, 0.25 * v)

@@ -677,3 +677,19 @@ def test_ekfac_from_state_dict():
         state, *args, fisher_type=FisherType.TYPE2
     )
     report_nonclose(restored @ v, expected, name="ekfac from_state_dict")
+
+
+def test_kfac_from_state_dict_accepts_backend_kwarg():
+    case = _make_linear_case("mean")
+    args = (case["model_fn"], case["loss_fn"], case["params"], case["data"])
+    kfac = KFACLinearOperator(*args, fisher_type=FisherType.TYPE2)
+    state = jax.tree.map(np.asarray, kfac.state_dict())
+    restored = KFACLinearOperator.from_state_dict(
+        state, *args, fisher_type=FisherType.TYPE2, backend="jaxpr"
+    )
+    v = np.random.default_rng(9).standard_normal(kfac.shape[0]).astype(np.float32)
+    report_nonclose(restored @ v, kfac @ v, name="backend kwarg roundtrip")
+    with pytest.raises(ValueError, match="backend"):
+        KFACLinearOperator.from_state_dict(
+            state, *args, fisher_type=FisherType.TYPE2, backend="hooks"
+        )
