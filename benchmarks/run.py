@@ -105,6 +105,21 @@ def bench_gradient(prob) -> float:
     return ms
 
 
+def _single_readback(tree) -> None:
+    """Completion barrier: reduce EVERY array leaf into one device scalar
+    (async elementwise dispatches), then ONE host readback. Per-leaf
+    readbacks serialize ~30 ms round trips each on this tunnel; a
+    single-leaf readback under-waits; ``block_until_ready`` has returned
+    early (CLAUDE.md)."""
+    total = None
+    for leaf in jax.tree.leaves(tree):
+        if isinstance(leaf, jax.Array):
+            s = jnp.sum(jnp.abs(leaf[..., -1])).astype(jnp.float32)
+            total = s if total is None else total + s
+    if total is not None:
+        float(total)
+
+
 def bench_kfac(prob, results: dict) -> None:
     from curvlinops_tpu.kfac.operator import KFACLinearOperator
 
@@ -117,22 +132,41 @@ def bench_kfac(prob, results: dict) -> None:
         mc_samples=1,
         check_deterministic=False,
     )
-    def _readback(tree) -> None:
-        # host scalar readback on EVERY leaf as the completion barrier
-        # (block_until_ready alone has returned early on this runtime)
-        for leaf in jax.tree.leaves(tree):
-            if isinstance(leaf, jax.Array):
-                float(jnp.sum(jnp.abs(leaf[..., -1])))
-
     jax.block_until_ready((kfac._aaT, kfac._ggT))
-    # repeat passes reuse the compiled per-batch-shape kernel: min steady-state
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        aaT, ggT, _ = kfac._computer.compute()
-        _readback((aaT, ggT))
-        best = min(best, time.perf_counter() - t0)
-    results["KFAC factors (s)"] = round(best, 4)
+    # factor build via the SAME marginal-rate chain as the matvecs: a scalar
+    # reduced from every factor leaf feeds the next build's params, so each
+    # link waits for the full build and fixed readback/dispatch costs cancel.
+    # (One-shot wall timings here are barrier-dominated either way: per-leaf
+    # readbacks cost n_leaves x 30 ms on this tunnel, and single-leaf
+    # readbacks under-wait — both were measured and rejected.)
+    X0, y0 = prob.data[0]
+    kernel = kfac._computer._get_kernel(X0)
+    B = kfac._computer.batch_size_fn(X0)
+    from curvlinops_tpu.kfac import math as _kmath
+
+    corr = jnp.float32(
+        _kmath.loss_correction(
+            B,
+            kfac._computer.num_per_example_loss_terms,
+            prob.loss_fn.reduction,
+            kfac._computer.num_data,
+        )
+    )
+    fkey = jax.random.key(0)
+
+    @jax.jit
+    def factor_build_step(carry, params, X, y):
+        shifted = jax.tree.map(lambda p: p + 0.0 * carry, params)
+        aaT, ggT = kernel(shifted, X, y, fkey, corr)
+        total = jnp.asarray(0.0, jnp.float32)
+        for leaf in jax.tree.leaves((aaT, ggT)):
+            total = total + jnp.sum(jnp.abs(leaf[..., -1])).astype(jnp.float32)
+        return total
+
+    ms, _ = _timed_chain(
+        factor_build_step, jnp.float32(0.0), prob.kfac_params, X0, y0, jit=False
+    )
+    results["KFAC factors (s)"] = round(ms / 1e3, 4)
 
     M = jax.tree.map(
         lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), prob.kfac_params
@@ -142,16 +176,16 @@ def bench_kfac(prob, results: dict) -> None:
 
     # warm up the eigh compiles once, then time the steady-state build
     inv = kfac.inverse(damping=1e-3, use_exact_damping=True)
-    _readback(list(inv._blocks_data.values()))
+    _single_readback(list(inv._blocks_data.values()))
     t0 = time.perf_counter()
     inv = kfac.inverse(damping=1e-3, use_exact_damping=True)
-    _readback(list(inv._blocks_data.values()))
+    _single_readback(list(inv._blocks_data.values()))
     results["KFAC exact-damped inverse build (s)"] = round(
         time.perf_counter() - t0, 4
     )
     ms, _ = _timed_chain(lambda m: inv._matmat(m), M, jit=False)
     results["KFAC inverse matvec (ms)"] = round(ms, 3)
-    del inv, kfac, aaT, ggT, M  # release factor HBM before the next phase
+    del inv, kfac, M  # release factor HBM before the next phase
 
 
 def bench_ekfac(prob, results: dict) -> None:
@@ -180,9 +214,7 @@ def bench_ekfac(prob, results: dict) -> None:
     del ekfac, M
     t0 = time.perf_counter()
     out = computer.compute_ekfac()
-    for leaf in jax.tree.leaves(out[:3]):
-        if isinstance(leaf, jax.Array):  # host readback barrier
-            float(jnp.sum(jnp.abs(leaf[..., -1])))
+    _single_readback(out[:3])
     results["EKFAC build (s)"] = round(time.perf_counter() - t0, 4)
 
 
