@@ -140,31 +140,36 @@ def bench_kfac(prob, results: dict) -> None:
     # readbacks cost n_leaves x 30 ms on this tunnel, and single-leaf
     # readbacks under-wait — both were measured and rejected.)
     X0, y0 = prob.data[0]
-    kernel = kfac._computer._get_kernel(X0)
-    B = kfac._computer.batch_size_fn(X0)
+    computer = kfac._computer
+    inner = computer._make_batch_kernel(computer._get_traced(X0))
+    B = computer.batch_size_fn(X0)
     from curvlinops_tpu.kfac import math as _kmath
 
     corr = jnp.float32(
         _kmath.loss_correction(
             B,
-            kfac._computer.num_per_example_loss_terms,
+            computer.num_per_example_loss_terms,
             prob.loss_fn.reduction,
-            kfac._computer.num_data,
+            computer.num_data,
         )
     )
     fkey = jax.random.key(0)
 
     @jax.jit
-    def factor_build_step(carry, params, X, y):
+    def factor_build_step(carry, frozen, params, X, y):
+        # frozen is a jit ARGUMENT (CLAUDE.md: closure-captured constants
+        # >100MB — e.g. the GPT's excluded embedding tables — get rejected
+        # by the remote compile service)
         shifted = jax.tree.map(lambda p: p + 0.0 * carry, params)
-        aaT, ggT = kernel(shifted, X, y, fkey, corr)
+        aaT, ggT = inner(frozen, shifted, X, y, fkey, corr)
         total = jnp.asarray(0.0, jnp.float32)
         for leaf in jax.tree.leaves((aaT, ggT)):
             total = total + jnp.sum(jnp.abs(leaf[..., -1])).astype(jnp.float32)
         return total
 
     ms, _ = _timed_chain(
-        factor_build_step, jnp.float32(0.0), prob.kfac_params, X0, y0, jit=False
+        factor_build_step, jnp.float32(0.0), computer.frozen,
+        prob.kfac_params, X0, y0, jit=False,
     )
     results["KFAC factors (s)"] = round(ms / 1e3, 4)
 
