@@ -30,6 +30,16 @@ from curvlinops_tpu.utils.flatten import (
     zeros_like_spec,
 )
 
+# epoch counter for traced-form invalidation (see
+# LinearOperator.invalidate_traced); solver program caches key on it too
+_TRACED_EPOCH = [0]
+
+
+def traced_epoch() -> int:
+    """Current global traced-form epoch (for solver program cache keys)."""
+    return _TRACED_EPOCH[0]
+
+
 # Input/output format tokens
 _FMT_TREE = "tree"  # pytree matching the spec, no column axis
 _FMT_TREE_COLS = "tree_cols"  # pytree with trailing column axis on every leaf
@@ -303,6 +313,87 @@ class LinearOperator:
         )
 
     # ------------------------------------------------------------------ #
+    # Traced form (constant hoisting for fused solver programs)
+    # ------------------------------------------------------------------ #
+    def traced(self, ncols: int = 1) -> tuple[Callable, tuple]:
+        """Return ``(fn, consts)`` with ``fn(M, *consts) == self._matmat(M)``.
+
+        ``fn`` is pure and jit-traceable; every array the operator closes over
+        (parameters, data batches, curvature factors, ...) is hoisted out of a
+        trace of ``_matmat`` into ``consts`` so callers can thread them through
+        ``jax.jit`` as ARGUMENTS. This is the library-wide mechanism that lets
+        iterative solvers (Neumann, CG, LSMR, Lanczos, LOBPCG) fuse an entire
+        solve — including every operator application — into ONE XLA program
+        without baking large constants into the compiled HLO (remote-compile
+        services reject >~100MB request bodies; see ``utils.misc.FrozenModelFn``
+        for the same policy on the per-batch kernels).
+
+        ``M`` must carry exactly ``ncols`` trailing columns (the trace is
+        shape-specialized). Results are cached per ``ncols``; call
+        :meth:`invalidate_traced` after mutating operator state in place.
+        """
+        cache = self.__dict__.setdefault("_traced_cache", {})
+        entry = cache.get(ncols)
+        if entry is not None and entry[2] != _TRACED_EPOCH[0]:
+            entry = None  # some operator was mutated since; re-trace
+        if entry is None:
+            example = jax.tree.map(
+                lambda s: jax.ShapeDtypeStruct(s.shape + (ncols,), s.dtype),
+                self._in_spec,
+            )
+            flat_ex, in_tree = jax.tree.flatten(example)
+            out_tree_store = []
+
+            def flat_fn(*flat_M):
+                M = jax.tree.unflatten(in_tree, flat_M)
+                out = self._matmat(M)
+                flat_out, out_tree = jax.tree.flatten(out)
+                out_tree_store.append(out_tree)
+                return flat_out
+
+            closed = jax.make_jaxpr(flat_fn)(*flat_ex)
+            jaxpr, consts = closed.jaxpr, tuple(closed.consts)
+            out_tree = out_tree_store[0]
+            from jax.core import eval_jaxpr
+
+            def fn(M, *consts, _jaxpr=jaxpr, _in=in_tree, _out=out_tree):
+                flat_M, got_tree = jax.tree.flatten(M)
+                if got_tree != _in:
+                    raise ValueError(
+                        "traced operator input has a different pytree "
+                        f"structure: expected {_in}, got {got_tree}."
+                    )
+                out_flat = eval_jaxpr(_jaxpr, consts, *flat_M)
+                return jax.tree.unflatten(_out, out_flat)
+
+            cache[ncols] = entry = (fn, consts, _TRACED_EPOCH[0])
+        return entry[0], entry[1]
+
+    def traced_flat(self, ncols: int = 1) -> tuple[Callable, tuple]:
+        """Like :meth:`traced` but on flat ``[in_dim, ncols]`` matrices,
+        returning flat ``[out_dim, ncols]`` results."""
+        fn, consts = self.traced(ncols)
+        ravel_out, _ = self._edge("out")
+        _, unravel_in = self._edge("in")
+
+        def flat_fn(Mflat, *consts):
+            return ravel_out(fn(unravel_in(Mflat), *consts))
+
+        return flat_fn, consts
+
+    def invalidate_traced(self) -> None:
+        """Drop cached traced forms (call after in-place state mutation).
+
+        Bumps a GLOBAL epoch: a composite operator's trace embeds its
+        children's computation, and children hold no parent links, so a
+        child mutation must invalidate every cached trace. Mutations are
+        rare (``load_state_dict``, chain ``__setitem__``, solver
+        hyperparameter changes); the cost is a re-trace on next use.
+        """
+        _TRACED_EPOCH[0] += 1
+        self.__dict__.pop("_traced_cache", None)
+
+    # ------------------------------------------------------------------ #
     # Safety rails
     # ------------------------------------------------------------------ #
     def check_deterministic_matvec(
@@ -428,6 +519,7 @@ class ChainLinearOperator(LinearOperator):
                 f"Replacement operator has shape {op.shape}, expected {old.shape}."
             )
         self.ops[idx] = op
+        self.invalidate_traced()
 
     def _matmat(self, M: Any) -> Any:
         for op in reversed(self.ops):

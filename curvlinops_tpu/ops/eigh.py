@@ -51,6 +51,7 @@ class EighDecomposedLinearOperator(LinearOperator):
                 f"Eigenvalues must have shape {self._eigenvalues.shape}."
             )
         self._eigenvalues = value
+        self.invalidate_traced()
 
     @property
     def Q(self):

@@ -31,27 +31,14 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from curvlinops_tpu.ops.base import LinearOperator
+from curvlinops_tpu.ops.base import LinearOperator, traced_epoch
 from curvlinops_tpu.solvers.cg import batched_cg
 from curvlinops_tpu.solvers.lsmr import batched_lsmr
 from curvlinops_tpu.utils.flatten import tree_add, tree_scale
 
 
-@jax.jit
-def _neumann_step(term: Any, PAt: Any, result: Any, scale: jax.Array):
-    """One fused Neumann-series update: new term, running sum, NaN flag."""
-    new_term = jax.tree.map(lambda t, pat: t - scale * pat, term, PAt)
-    flag = jnp.any(
-        jnp.stack([jnp.isnan(l).any() for l in jax.tree.leaves(new_term)])
-    )
-    return new_term, tree_add(result, new_term), flag
-
-
-@jax.jit
-def _neumann_step_unchecked(term: Any, PAt: Any, result: Any, scale: jax.Array):
-    """The fused update without the NaN reduction (``check_nan=False``)."""
-    new_term = jax.tree.map(lambda t, pat: t - scale * pat, term, PAt)
-    return new_term, tree_add(result, new_term)
+def _ncols(M: Any) -> int:
+    return jax.tree.leaves(M)[0].shape[-1]
 
 
 class CGInverseLinearOperator(LinearOperator):
@@ -87,19 +74,31 @@ class CGInverseLinearOperator(LinearOperator):
                 setattr(self, f"_{name}", kwargs.pop(name))
         if kwargs:
             raise ValueError(f"Unknown CG hyperparameters: {sorted(kwargs)}.")
+        self.invalidate_traced()
 
     def _matmat(self, M: Any) -> Any:
-        precond = (
-            self._preconditioner._matmat if self._preconditioner is not None else None
-        )
-        X, info = batched_cg(
-            self._A._matmat,
-            M,
-            maxiter=self._maxiter,
-            tol=self._tol,
-            atol=self._atol,
-            preconditioner=precond,
-        )
+        # The WHOLE solve — lax.while_loop PCG including every operator
+        # application — is one cached jitted program; operator state (params,
+        # data, factors) enters as jit ARGUMENTS via `traced()`, never as
+        # embedded HLO constants.
+        ncols = _ncols(M)
+        fnA, argsA = self._A.traced(ncols)
+        P = self._preconditioner
+        fnP, argsP = P.traced(ncols) if P is not None else (None, ())
+        key = (ncols, self._maxiter, self._tol, self._atol, traced_epoch())
+        cache = self.__dict__.setdefault("_program_cache", {})
+        if key not in cache:
+            maxiter, tol, atol = self._maxiter, self._tol, self._atol
+
+            def fused(M, argsA, argsP):
+                mv = lambda V: fnA(V, *argsA)  # noqa: E731
+                mp = (lambda V: fnP(V, *argsP)) if fnP is not None else None
+                return batched_cg(
+                    mv, M, maxiter=maxiter, tol=tol, atol=atol, preconditioner=mp
+                )
+
+            cache[key] = jax.jit(fused)
+        X, info = cache[key](M, argsA, argsP)
         self._last_info = info
         return X
 
@@ -143,18 +142,33 @@ class LSMRInverseLinearOperator(LinearOperator):
                 setattr(self, f"_{name}", kwargs.pop(name))
         if kwargs:
             raise ValueError(f"Unknown LSMR hyperparameters: {sorted(kwargs)}.")
+        self.invalidate_traced()
 
     def _matmat(self, M: Any) -> Any:
-        adj = self._A.adjoint()
-        X, info = batched_lsmr(
-            self._A._matmat,
-            adj._matmat,
-            M,
-            damp=self._damp,
-            maxiter=self._maxiter,
-            atol=self._atol,
-            btol=self._btol,
-        )
+        ncols = _ncols(M)
+        if not hasattr(self, "_A_adj"):
+            self._A_adj = self._A.adjoint()
+        fnA, argsA = self._A.traced(ncols)
+        fnAt, argsAt = self._A_adj.traced(ncols)
+        key = (ncols, self._damp, self._maxiter, self._atol, self._btol, traced_epoch())
+        cache = self.__dict__.setdefault("_program_cache", {})
+        if key not in cache:
+            damp, maxiter = self._damp, self._maxiter
+            atol, btol = self._atol, self._btol
+
+            def fused(M, argsA, argsAt):
+                return batched_lsmr(
+                    lambda V: fnA(V, *argsA),
+                    lambda V: fnAt(V, *argsAt),
+                    M,
+                    damp=damp,
+                    maxiter=maxiter,
+                    atol=atol,
+                    btol=btol,
+                )
+
+            cache[key] = jax.jit(fused)
+        X, info = cache[key](M, argsA, argsAt)
         self._lsmr_info = info
         return X
 
@@ -197,39 +211,74 @@ class NeumannInverseLinearOperator(LinearOperator):
             self._num_terms = num_terms
         if scale is not None:
             self._scale = scale
+        self.invalidate_traced()
 
     def _matmat(self, M: Any) -> Any:
+        # The ENTIRE truncated series runs as one cached jitted lax.fori_loop
+        # program (operator applications included, state threaded as jit
+        # arguments via `traced()`); the NaN-divergence flag and the index of
+        # the first bad term live in the loop carry, so the whole apply costs
+        # ONE dispatch and at most ONE host readback. (History on a remote-TPU
+        # runtime, 100 terms on a ResNet-18 GGN: per-leaf flag readbacks 178 s
+        # -> fused per-term updates 10.4 s -> this whole-loop program ~the
+        # operator's pure compute.)
+        ncols = _ncols(M)
+        fnA, argsA = self._A.traced(ncols)
         P = self._preconditioner
+        fnP, argsP = P.traced(ncols) if P is not None else (None, ())
+        key = (ncols, self._num_terms, self._check_nan, traced_epoch())
+        cache = self.__dict__.setdefault("_program_cache", {})
+        if key not in cache:
+            num_terms, check_nan = self._num_terms, self._check_nan
 
-        def apply_P(V: Any) -> Any:
-            return P._matmat(V) if P is not None else V
+            def fused(M, scale, argsA, argsP):
+                def apply_P(V):
+                    return fnP(V, *argsP) if fnP is not None else V
 
-        term = apply_P(M)  # k = 0 term: P M
-        result = term
-        nan_flags = []  # per-term device booleans; ONE readback after the loop
-        scale = jnp.asarray(self._scale)
-        for _ in range(1, self._num_terms + 1):
-            # term <- (I - scale * P A) term; the update (+ NaN flag when
-            # checking) runs as ONE jitted dispatch, and the flag stays ON
-            # DEVICE — a host readback (or ~190 tiny eager ops) per term
-            # would serialize the async dispatch chain (on a remote-TPU
-            # runtime that measured 178 s for 100 terms on ResNet-18;
-            # fused: 10.4 s, the remainder being the operator's own
-            # per-term dispatches)
-            PAt = apply_P(self._A._matmat(term))
-            if self._check_nan:
-                term, result, flag = _neumann_step(term, PAt, result, scale)
-                nan_flags.append(flag)
-            else:
-                term, result = _neumann_step_unchecked(term, PAt, result, scale)
-        if nan_flags:
-            first_bad = int(jnp.argmax(jnp.stack(nan_flags)))
-            if bool(nan_flags[first_bad]):
-                raise ValueError(
-                    f"Neumann series diverged (NaN at term {first_bad + 1}); "
-                    "decrease `scale` or the spectral radius of I - scale*A."
+                term0 = apply_P(M)  # k = 0 term: P M
+
+                def body(k, carry):
+                    term, result, flag, first_bad = carry
+                    PAt = apply_P(fnA(term, *argsA))
+                    new_term = jax.tree.map(
+                        lambda t, pat: t - scale * pat, term, PAt
+                    )
+                    if check_nan:
+                        isnan = jnp.any(
+                            jnp.stack(
+                                [jnp.isnan(l).any()
+                                 for l in jax.tree.leaves(new_term)]
+                            )
+                        )
+                        first_bad = jnp.where(
+                            jnp.logical_and(jnp.logical_not(flag), isnan),
+                            k,
+                            first_bad,
+                        )
+                        flag = jnp.logical_or(flag, isnan)
+                    return new_term, tree_add(result, new_term), flag, first_bad
+
+                init = (
+                    term0,
+                    term0,
+                    jnp.asarray(False),
+                    jnp.asarray(-1, jnp.int32),
                 )
-        return tree_scale(self._scale, result)
+                _, result, flag, first_bad = jax.lax.fori_loop(
+                    1, num_terms + 1, body, init
+                )
+                return tree_scale(scale, result), flag, first_bad
+
+            cache[key] = jax.jit(fused)
+        result, flag, first_bad = cache[key](
+            M, jnp.asarray(self._scale, self.dtype), argsA, argsP
+        )
+        if self._check_nan and bool(flag):
+            raise ValueError(
+                f"Neumann series diverged (NaN at term {int(first_bad)}); "
+                "decrease `scale` or the spectral radius of I - scale*A."
+            )
+        return result
 
     def _adjoint(self) -> LinearOperator:
         if self._preconditioner is None:

@@ -257,7 +257,16 @@ class EmpiricalRiskOperator(LinearOperator):
             self._batch_fn_cache["matmat"] = lambda *args: jitted(frozen, *args)
         return self._batch_fn_cache["matmat"]
 
+    # total stacked-batch bytes above which the scan path stops copying the
+    # dataset into one leading-axis array and falls back to the unrolled form
+    _FUSE_STACK_BYTE_LIMIT = 2 << 30
+    # batch count above which an unrolled multi-batch trace gets too large
+    _FUSE_UNROLL_LIMIT = 64
+
     def _matmat(self, M: Any) -> Any:
+        fused = self._fused_matmat()
+        if fused is not None:
+            return fused(self._replicate(M))
         fn = self._batch_matmat_jitted()
         params = self._replicate(self._params)
         M = self._replicate(M)
@@ -271,6 +280,109 @@ class EmpiricalRiskOperator(LinearOperator):
         if AM is None:
             raise ValueError("Empty dataset: no batches to accumulate over.")
         return AM
+
+    def _fused_matmat(self) -> Callable | None:
+        """One-dispatch multi-batch accumulation, or ``None`` to stream.
+
+        When the dataset has several batches, the per-batch kernels and the
+        accumulating adds fuse into ONE jitted program: a ``lax.scan`` over a
+        stacked ``[n_batches, ...]`` dataset when batch shapes are uniform
+        (O(1) trace size), an unrolled loop for ragged batches. Data, params
+        and the per-batch normalization/keys enter as jit ARGUMENTS. Streaming
+        (one dispatch per batch) remains for single batches, progress bars,
+        ``fuse_batches=False``, and datasets past the unroll/stack limits.
+        """
+        if self._progressbar or getattr(self, "fuse_batches", "auto") is False:
+            return None
+        cache = self._batch_fn_cache
+        if "fused_state" not in cache:
+            self._materialize_fused_state()
+        if cache["fused_state"] is None:
+            return None
+
+        mode, data, cs, keys = cache["fused_state"]
+        if "fused_matmat" not in cache:
+            frozen, raw = unwrap_model_fn(self._model_fn)
+            out_spec = self._out_spec
+
+            def make_kernel(frozen):
+                return self._make_batch_matmat_with(
+                    lambda p, x: raw(frozen, p, x)
+                )
+
+            if mode == "scan":
+
+                def fused(frozen, params, data, cs, keys, M):
+                    kernel = make_kernel(frozen)
+                    K = jax.tree.leaves(M)[0].shape[-1]
+                    init = jax.tree.map(
+                        lambda s: jnp.zeros(s.shape + (K,), s.dtype), out_spec
+                    )
+
+                    def body(acc, xs):
+                        (X, y), c, key = xs
+                        return tree_add(acc, kernel(params, X, y, M, c, key)), None
+
+                    acc, _ = jax.lax.scan(body, init, (data, cs, keys))
+                    return acc
+
+            else:
+
+                def fused(frozen, params, data, cs, keys, M):
+                    kernel = make_kernel(frozen)
+                    AM = None
+                    for i, (X, y) in enumerate(data):
+                        out = kernel(params, X, y, M, cs[i], keys[i])
+                        AM = out if AM is None else tree_add(AM, out)
+                    return AM
+
+            jitted = jax.jit(fused)
+            cache["fused_matmat"] = (jitted, frozen)
+        jitted, frozen = cache["fused_matmat"]
+        params = self._replicate(self._params)
+        return lambda M: jitted(frozen, params, data, cs, keys, M)
+
+    def _materialize_fused_state(self) -> None:
+        """Stack/collect the dataset for the fused path — always EAGERLY.
+
+        ``traced()`` may trigger this inside a jaxpr trace; without the
+        compile-time-eval guard the stacked dataset would be built from
+        tracers and leak out of the trace via the cache.
+        """
+        cache = self._batch_fn_cache
+        with jax.ensure_compile_time_eval():
+            batches = list(self._loop_over_data(desc="fuse_batches"))
+            if len(batches) < 2 or len(batches) > self._FUSE_UNROLL_LIMIT:
+                cache["fused_state"] = None
+                return
+            cs = jnp.asarray(
+                [self._get_normalization_factor(X, y) for X, y in batches],
+                self.dtype,
+            )
+            keys = jnp.stack(
+                [
+                    jax.random.fold_in(jax.random.key(self._seed), i)
+                    for i in range(len(batches))
+                ]
+            )
+            structures = {jax.tree.structure(b) for b in batches}
+            shapes = {
+                tuple(jnp.shape(l) for l in jax.tree.leaves(b))
+                for b in batches
+            }
+            nbytes = sum(
+                l.size * jnp.dtype(l.dtype).itemsize
+                for b in batches
+                for l in jax.tree.leaves(b)
+            )
+            uniform = len(structures) == 1 and len(shapes) == 1
+            if uniform and nbytes <= self._FUSE_STACK_BYTE_LIMIT:
+                stacked = jax.tree.map(
+                    lambda *leaves: jnp.stack(leaves), *batches
+                )
+                cache["fused_state"] = ("scan", stacked, cs, keys)
+            else:
+                cache["fused_state"] = ("unroll", tuple(batches), cs, keys)
 
     # ------------------------------------------------------------------ #
     # Gradient / loss over the dataset

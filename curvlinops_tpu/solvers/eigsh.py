@@ -15,7 +15,7 @@ from jax.experimental.sparse.linalg import lobpcg_standard
 
 def topk_eigenpairs(
     A, k: int, *, maxiter: int = 100, tol: float | None = None,
-    key: jax.Array | None = None, jit: bool = False,
+    key: jax.Array | None = None, jit: bool | str = "auto",
 ) -> tuple[jax.Array, jax.Array]:
     """Largest-``k`` eigenpairs of a symmetric PSD operator via LOBPCG.
 
@@ -26,21 +26,45 @@ def topk_eigenpairs(
         tol: Residual tolerance (library default when ``None``).
         key: PRNG key for the start block.
         jit: Compile the WHOLE LOBPCG loop (including every operator matmat)
-            into one XLA program, removing per-iteration dispatch and
-            convergence-check host syncs (measured ~10% on a ResNet-18 GGN,
-            k=5 — most of LOBPCG's cost is genuine matmat compute on the
-            3k-column search block). Off by default: the operator's
-            data/params are baked into the compiled program as closure
-            constants (no ``FrozenModelFn`` plumbing through a generic
-            operator), which remote-compile services may reject for large
-            models, and the wrapper recompiles on every call.
+            into one cached XLA program, removing per-iteration dispatch,
+            per-call loop re-tracing, and convergence-check host syncs.
+            ``"auto"`` (default) fuses whenever ``A`` is a
+            :class:`~curvlinops_tpu.ops.base.LinearOperator` — its state is
+            threaded through as jit ARGUMENTS via ``A.traced()`` (LOBPCG
+            applies the operator at column widths ``{1, k, 3k}``, so three
+            traced forms feed one program), never as embedded HLO constants.
+            ``False`` forces the eager loop.
 
     Returns:
         ``(eigenvalues [k] descending, eigenvectors [dim, k])``.
     """
+    from curvlinops_tpu.ops.base import LinearOperator
+
     dim = A.shape[0]
     key = key if key is not None else jax.random.key(0)
     X0 = jax.random.normal(key, (dim, k), A.dtype)
+
+    fuse = jit if isinstance(jit, bool) else isinstance(A, LinearOperator)
+    if fuse and isinstance(A, LinearOperator):
+        widths = sorted({1, k, 3 * k})
+        forms = {w: A.traced_flat(w) for w in widths}
+        from curvlinops_tpu.ops.base import traced_epoch
+
+        cache = A.__dict__.setdefault("_program_cache", {})
+        cache_key = ("lobpcg", k, maxiter, tol, traced_epoch())
+        if cache_key not in cache:
+
+            def fused(X0, consts_by_width):
+                def matmat(X):
+                    fn, _ = forms[X.shape[1]]
+                    return fn(X, *consts_by_width[X.shape[1]])
+
+                evals, evecs, _ = lobpcg_standard(matmat, X0, m=maxiter, tol=tol)
+                order = jnp.argsort(evals)[::-1]
+                return evals[order], evecs[:, order]
+
+            cache[cache_key] = jax.jit(fused)
+        return cache[cache_key](X0, {w: forms[w][1] for w in widths})
 
     def matmat(X):
         return A @ X
@@ -50,7 +74,7 @@ def topk_eigenpairs(
         order = jnp.argsort(evals)[::-1]
         return evals[order], evecs[:, order]
 
-    return jax.jit(solve)(X0) if jit else solve(X0)
+    return jax.jit(solve)(X0) if fuse else solve(X0)
 
 
 def smallest_eigenvalue(

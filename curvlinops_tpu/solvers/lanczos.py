@@ -24,34 +24,47 @@ import jax
 import jax.numpy as jnp
 
 
-def fast_lanczos(
-    A, ncv: int, key: jax.Array | None = None
-) -> tuple[jax.Array, jax.Array]:
-    """Lanczos without reorthogonalization; eigendecomposed tridiagonal.
+def _flat_matvec(A) -> tuple:
+    """``(mv, consts)`` with ``mv(v, consts) == A @ v`` on flat ``[dim]``
+    vectors, jit-traceable with operator state in ``consts``.
 
-    Args:
-        A: Symmetric linear operator (flat ``[dim]`` vectors).
-        ncv: Number of Lanczos vectors.
-        key: PRNG key for the random start vector.
-
-    Returns:
-        ``(evals [ncv], evecs [ncv, ncv])`` of the tridiagonal matrix.
+    ``LinearOperator`` inputs use :meth:`~curvlinops_tpu.ops.base.
+    LinearOperator.traced` (state as jit arguments — no large HLO constants);
+    anything else (e.g. a raw array-like with ``@``) closes over its state.
     """
-    key = key if key is not None else jax.random.key(0)
-    dim = A.shape[1]
-    dtype = A.dtype
+    from curvlinops_tpu.ops.base import LinearOperator
 
-    v = jax.random.normal(key, (dim,), dtype)
+    if isinstance(A, LinearOperator):
+        fn, consts = A.traced_flat(1)
+        return (lambda v, consts: fn(v[:, None], *consts)[:, 0]), consts
+    return (lambda v, consts: A @ v), ()
+
+
+def _cached_program(A, key: tuple, builder):
+    """Build-once jitted program stored on the operator instance."""
+    from curvlinops_tpu.ops.base import traced_epoch
+
+    key = key + (traced_epoch(),)
+    try:
+        cache = A.__dict__.setdefault("_program_cache", {})
+    except AttributeError:  # plain arrays have no instance dict
+        return builder()
+    if key not in cache:
+        cache[key] = builder()
+    return cache[key]
+
+
+def _fast_lanczos_loop(mv, consts, v, ncv: int, dtype):
+    """The no-reorthogonalization recurrence as one ``fori_loop`` program."""
     v = v / jnp.linalg.norm(v)
     v_prev = jnp.zeros_like(v)
-
     alphas = jnp.zeros(ncv, dtype)
     betas = jnp.zeros(max(ncv - 1, 1), dtype)
 
     def body(m, carry):
         v, v_prev, alphas, betas = carry
         beta_prev = jnp.where(m == 0, 0.0, betas[jnp.maximum(m - 1, 0)])
-        v_next = (A @ v) - beta_prev * v_prev
+        v_next = mv(v, consts) - beta_prev * v_prev
         alpha = jnp.vdot(v_next, v)
         alphas = alphas.at[m].set(alpha)
         v_next = v_next - alpha * v
@@ -73,6 +86,39 @@ def fast_lanczos(
     return jnp.linalg.eigh(T)
 
 
+def fast_lanczos(
+    A, ncv: int, key: jax.Array | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """Lanczos without reorthogonalization; eigendecomposed tridiagonal.
+
+    The whole run — ``ncv`` operator applications, the recurrence, and the
+    tridiagonal ``eigh`` — executes as ONE cached jitted program per
+    ``(operator, ncv)``; operator state enters as jit arguments (re-tracing
+    the loop body per call was the dominant cost on latency-bound runtimes).
+
+    Args:
+        A: Symmetric linear operator (flat ``[dim]`` vectors).
+        ncv: Number of Lanczos vectors.
+        key: PRNG key for the random start vector.
+
+    Returns:
+        ``(evals [ncv], evecs [ncv, ncv])`` of the tridiagonal matrix.
+    """
+    key = key if key is not None else jax.random.key(0)
+    dim = A.shape[1]
+    dtype = A.dtype
+    v0 = jax.random.normal(key, (dim,), dtype)
+    mv, consts = _flat_matvec(A)
+    program = _cached_program(
+        A,
+        ("fast_lanczos", ncv),
+        lambda: jax.jit(
+            lambda v0, consts: _fast_lanczos_loop(mv, consts, v0, ncv, dtype)
+        ),
+    )
+    return program(v0, consts)
+
+
 def lanczos_extreme_eigenvalues(
     A, num_iters: int = 32, key: jax.Array | None = None
 ) -> tuple[jax.Array, jax.Array]:
@@ -90,37 +136,45 @@ def lanczos_extreme_eigenvalues(
     dim = A.shape[1]
     ncv = min(num_iters, dim)
     dtype = A.dtype
+    v0 = jax.random.normal(key, (dim,), dtype)
+    mv, consts = _flat_matvec(A)
 
-    v = jax.random.normal(key, (dim,), dtype)
-    v = v / jnp.linalg.norm(v)
+    def loop(v0, consts):
+        v = v0 / jnp.linalg.norm(v0)
+        V = jnp.zeros((ncv, dim), dtype)
+        alphas = jnp.zeros(ncv, dtype)
+        betas = jnp.zeros(ncv, dtype)
 
-    V = jnp.zeros((ncv, dim), dtype)
-    alphas = jnp.zeros(ncv, dtype)
-    betas = jnp.zeros(ncv, dtype)
+        def body(m, carry):
+            v, V, alphas, betas = carry
+            V = V.at[m].set(v)
+            w = mv(v, consts)
+            alpha = jnp.vdot(w, v)
+            alphas = alphas.at[m].set(alpha)
+            # full reorthogonalization against the stored basis
+            w = w - V.T @ (V @ w)
+            w = w - V.T @ (V @ w)  # twice is enough
+            beta = jnp.linalg.norm(w)
+            betas = betas.at[m].set(beta)
+            v = w / jnp.maximum(beta, jnp.finfo(dtype).tiny)
+            return v, V, alphas, betas
 
-    def body(m, carry):
-        v, V, alphas, betas = carry
-        V = V.at[m].set(v)
-        w = A @ v
-        alpha = jnp.vdot(w, v)
-        alphas = alphas.at[m].set(alpha)
-        # full reorthogonalization against the stored basis
-        w = w - V.T @ (V @ w)
-        w = w - V.T @ (V @ w)  # twice is enough
-        beta = jnp.linalg.norm(w)
-        betas = betas.at[m].set(beta)
-        v = w / jnp.maximum(beta, jnp.finfo(dtype).tiny)
-        return v, V, alphas, betas
+        _, _, alphas, betas = jax.lax.fori_loop(
+            0, ncv, body, (v, V, alphas, betas)
+        )
 
-    _, V, alphas, betas = jax.lax.fori_loop(0, ncv, body, (v, V, alphas, betas))
+        T = (
+            jnp.diag(alphas)
+            + jnp.diag(betas[: ncv - 1], 1)
+            + jnp.diag(betas[: ncv - 1], -1)
+        )
+        ritz = jnp.linalg.eigvalsh(T)
+        return ritz[0], ritz[-1]
 
-    T = (
-        jnp.diag(alphas)
-        + jnp.diag(betas[: ncv - 1], 1)
-        + jnp.diag(betas[: ncv - 1], -1)
+    program = _cached_program(
+        A, ("lanczos_extreme", ncv), lambda: jax.jit(loop)
     )
-    ritz = jnp.linalg.eigvalsh(T)
-    return ritz[0], ritz[-1]
+    return program(v0, consts)
 
 
 def approximate_boundaries(
