@@ -27,13 +27,22 @@ from curvlinops_tpu.models.resnet import kfac_restricted
 
 @dataclass(frozen=True)
 class GPTConfig:
-    """Model geometry (defaults = nanoGPT's GPT-2 small)."""
+    """Model geometry (defaults = nanoGPT's GPT-2 small).
+
+    ``attention_impl``: ``"fused"`` routes through
+    ``jax.nn.dot_product_attention`` (XLA's fused causal-attention lowering —
+    no materialized ``[T, T]`` boolean mask, differentiable in BOTH autodiff
+    modes, which the jvp-based Hessian/GGN kernels require; a Pallas
+    flash-attention custom-vjp would refuse forward-mode). ``"einsum"`` keeps
+    the explicit einsum-softmax for A/B comparison.
+    """
 
     block_size: int = 1024
     vocab_size: int = 50304
     n_layer: int = 12
     n_head: int = 12
     n_embd: int = 768
+    attention_impl: str = "fused"
 
 
 def _layernorm(x, p):
@@ -42,27 +51,41 @@ def _layernorm(x, p):
     return p["scale"] * (x - mean) * jax.lax.rsqrt(var + 1e-5) + p["bias"]
 
 
-def _attention(params, x, n_head):
+def _attention(params, x, n_head, impl: str = "fused"):
     B, T, C = x.shape
     qkv = x @ params["attn_qkv"]["W"] + params["attn_qkv"]["b"]  # [B, T, 3C]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     hd = C // n_head
 
-    def heads(t):
-        return t.reshape(B, T, n_head, hd).transpose(0, 2, 1, 3)  # [B, H, T, hd]
+    if impl == "fused":
+        # XLA's fused causal attention: no [T, T] mask materialization, and
+        # jvp/vjp both flow (Hessian = jvp-of-grad needs forward mode)
+        def heads_btnh(t):
+            return t.reshape(B, T, n_head, hd)
 
-    q, k, v = heads(q), heads(k), heads(v)
-    att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.asarray(hd, x.dtype))
-    mask = jnp.tril(jnp.ones((T, T), bool))
-    att = jnp.where(mask, att, -jnp.inf)
-    att = jax.nn.softmax(att, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
-    out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+        out = jax.nn.dot_product_attention(
+            heads_btnh(q), heads_btnh(k), heads_btnh(v), is_causal=True
+        )
+        out = out.reshape(B, T, C)
+    else:
+
+        def heads(t):
+            return t.reshape(B, T, n_head, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(hd, x.dtype)
+        )
+        mask = jnp.tril(jnp.ones((T, T), bool))
+        att = jnp.where(mask, att, -jnp.inf)
+        att = jax.nn.softmax(att, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
     return out @ params["attn_proj"]["W"] + params["attn_proj"]["b"]
 
 
-def _block(params, x, n_head):
-    x = x + _attention(params, _layernorm(x, params["ln1"]), n_head)
+def _block(params, x, n_head, impl: str = "fused"):
+    x = x + _attention(params, _layernorm(x, params["ln1"]), n_head, impl)
     h = _layernorm(x, params["ln2"])
     h = jax.nn.gelu(h @ params["mlp_fc"]["W"] + params["mlp_fc"]["b"])
     return x + (h @ params["mlp_proj"]["W"] + params["mlp_proj"]["b"])
@@ -88,17 +111,18 @@ def gpt_apply(
     B, T = tokens.shape
     pos = jnp.arange(T)
     x = params["wte"][tokens] + params["wpe"][pos]
+    impl = config.attention_impl
     if "h" in params:  # scan-stacked blocks
 
         def body(h, block_params):
-            return _block(block_params, h, config.n_head), None
+            return _block(block_params, h, config.n_head, impl), None
 
         if remat_blocks:
             body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, params["h"])
     else:
         for i in range(config.n_layer):
-            x = _block(params[f"h{i}"], x, config.n_head)
+            x = _block(params[f"h{i}"], x, config.n_head, impl)
     x = _layernorm(x, params["ln_f"])
     logits = x @ params["lm_head"]["W"]
     return logits.reshape(B * T, -1)
