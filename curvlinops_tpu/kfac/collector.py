@@ -41,8 +41,16 @@ body is analyzed recursively, and matched layers come in two flavors:
   KFAC weight-sharing axis exactly like sequence positions.
 
 Parameters entering the loop carry, reshaped stacked weights, and nested
-scans are refused (never silently miscomputed). ``while``/``cond`` wrapping
-parameter uses are likewise refused. Nested ``pjit``, ``custom_jvp/vjp`` and
+scans are refused (never silently miscomputed). ``lax.cond`` around layers is
+LOWERED TO SELECT: every branch executes, outputs combine by branch index,
+and the untaken branch's layer-input taps are masked to zero — so its aaT
+contribution is exactly zero (and its layer-output gradients vanish through
+the select), which is the Fisher's own semantics for a layer that did not
+run. Ambiguous cond cases stay refused: weights tied across branches (or
+between a branch and the outside), embeddings inside branches (masking
+indices would mis-count token 0), parameter-derived predicates, cond nested
+in scan (and vice versa), and parameters flowing out of the cond. ``while``
+wrapping parameter uses is refused. Nested ``pjit``, ``custom_jvp/vjp`` and
 ``remat`` calls are inlined transparently.
 """
 
@@ -123,6 +131,33 @@ class LayerUse:
     meta: dict = field(default_factory=dict)
     bias_path: tuple | None = None
     scan_op: int | None = None  # top-level op index of the enclosing scan
+    cond_op: int | None = None  # top-level op index of the enclosing cond
+    cond_branch: int | None = None  # branch index within the cond
+
+
+@dataclass
+class _CondBranch:
+    """One branch of a lowered ``cond``: its IR and matched layers."""
+
+    ir: "_FlatIR"
+    layer_ids: list = field(default_factory=list)
+    tap_by_op: dict = field(default_factory=dict)
+
+
+@dataclass
+class _CondInfo:
+    """A top-level ``cond`` op whose branches contain matched layers.
+
+    Lowered to select: EVERY branch executes, branch outputs combine with
+    ``lax.select_n`` on the index, and each branch's layer-input taps are
+    masked to zero when that branch is not taken — so the untaken branch
+    contributes exactly zero to aaT (and its deltas are selected away, so
+    ggT contributions vanish through autodiff). This matches the Fisher:
+    a layer that did not run contributes a zero block for that datum.
+    """
+
+    op_index: int
+    branches: list[_CondBranch] = field(default_factory=list)
 
 
 @dataclass
@@ -347,10 +382,30 @@ class TracedModel:
 
         self.layers: list[LayerUse] = []
         self._scan_infos: dict[int, _ScanInfo] = {}
+        self._cond_infos: dict[int, _CondInfo] = {}
         self._unmatched: dict[int, list[str]] = {}
         self._kind_counter: dict[str, int] = {"dense": 0, "conv": 0, "embedding": 0}
 
         self._match_ir(ir, derived, in_scan=None)
+
+        # weight tying across cond branches (or between a branch and outside)
+        # would need cross-context factor normalization — refuse
+        by_path: dict[tuple, set] = {}
+        for u in self.layers:
+            by_path.setdefault(tuple(u.weight_path), set()).add(
+                (u.cond_op, u.cond_branch)
+            )
+        for path, ctxs in by_path.items():
+            if len(ctxs) > 1 and any(c[0] is not None for c in ctxs):
+                leaf = next(
+                    i for i, p in enumerate(self.param_paths)
+                    if tuple(p) == path
+                )
+                self._flag(
+                    [leaf],
+                    "cond (weight tied across cond branches or between a "
+                    "branch and the outside)",
+                )
 
         # completeness verification (collector.py:180-277 analogue)
         used_leaves = {tuple(u.weight_path) for u in self.layers} | {
@@ -378,7 +433,9 @@ class TracedModel:
             )
 
         self._top_tap_by_op = {
-            u.op_index: u for u in self.layers if u.scan_op is None
+            u.op_index: u
+            for u in self.layers
+            if u.scan_op is None and u.cond_op is None
         }
 
     # ------------------------------------------------------------------ #
@@ -389,7 +446,11 @@ class TracedModel:
             self._unmatched.setdefault(lid, []).append(msg)
 
     def _match_ir(
-        self, ir: _FlatIR, derived: dict, in_scan: _ScanInfo | None
+        self,
+        ir: _FlatIR,
+        derived: dict,
+        in_scan: _ScanInfo | None,
+        in_cond: tuple | None = None,
     ) -> dict:
         """Run the matching pass over one IR; returns the final derived map."""
         produced_by_layer: dict[Any, int] = {}  # var key -> layer_id
@@ -425,7 +486,31 @@ class TracedModel:
                         leaf_ids, "scan (nested scans around parameters)"
                     )
                     continue
+                if in_cond is not None:
+                    self._flag(
+                        leaf_ids, "scan (scan inside a cond branch around "
+                        "parameters)"
+                    )
+                    continue
                 self._analyze_scan(op_index, op, entries, leaf_ids)
+                continue
+
+            if prim_name == "cond" and any(e is not None for e in entries):
+                if in_scan is not None or in_cond is not None:
+                    self._flag(
+                        leaf_ids,
+                        "cond (nested inside scan/cond around parameters)",
+                    )
+                    continue
+                if entries[0] is not None:
+                    self._flag(
+                        [entries[0].leaf], "cond (parameter-derived predicate)"
+                    )
+                    continue
+                if any(e is not None and e.scan is not None for e in entries):
+                    self._flag(leaf_ids, "cond (scan-derived operand)")
+                    continue
+                self._analyze_cond(op_index, op, entries, leaf_ids)
                 continue
 
             if prim_name == "dot_general":
@@ -449,7 +534,8 @@ class TracedModel:
                         if e.scan is not None:
                             meta["scan"] = {"kind": e.scan[0], "length": e.scan[1]}
                         self._add_layer(
-                            "dense", e.leaf, op_index, x_slot, meta, in_scan
+                            "dense", e.leaf, op_index, x_slot, meta, in_scan,
+                            in_cond,
                         )
                         produced_by_layer[op.out_keys[0]] = self.layers[-1].layer_id
                         continue
@@ -484,6 +570,13 @@ class TracedModel:
                     }
                     if e.scan is not None:
                         meta["scan"] = {"kind": e.scan[0], "length": e.scan[1]}
+                    if in_cond is not None:
+                        # masking gather indices would mis-count token 0
+                        self._flag(
+                            [e.leaf], "cond (embedding lookup inside a cond "
+                            "branch)"
+                        )
+                        continue
                     self._add_layer("embedding", e.leaf, op_index, 1, meta, in_scan)
                     produced_by_layer[op.out_keys[0]] = self.layers[-1].layer_id
                     continue
@@ -504,7 +597,9 @@ class TracedModel:
                     meta["w_leaf_shape"] = tuple(self._param_shapes[e.leaf])
                     if e.scan is not None:
                         meta["scan"] = {"kind": e.scan[0], "length": e.scan[1]}
-                    self._add_layer("conv", e.leaf, op_index, 0, meta, in_scan)
+                    self._add_layer(
+                        "conv", e.leaf, op_index, 0, meta, in_scan, in_cond
+                    )
                     produced_by_layer[op.out_keys[0]] = self.layers[-1].layer_id
                     continue
                 self._flag(leaf_ids, prim_name)
@@ -571,6 +666,7 @@ class TracedModel:
         input_slot: int,
         meta: dict,
         in_scan: _ScanInfo | None,
+        in_cond: tuple | None = None,
     ) -> None:
         lid = len(self.layers)
         name = f"{kind.capitalize()}{self._kind_counter[kind]}"
@@ -584,11 +680,45 @@ class TracedModel:
             input_slot=input_slot,
             meta=meta,
             scan_op=None if in_scan is None else in_scan.op_index,
+            cond_op=None if in_cond is None else in_cond[0].op_index,
+            cond_branch=None if in_cond is None else in_cond[1],
         )
         self.layers.append(use)
         if in_scan is not None:
             in_scan.layer_ids.append(lid)
             in_scan.tap_by_op[op_index] = use
+        if in_cond is not None:
+            info, b = in_cond
+            info.branches[b].layer_ids.append(lid)
+            info.branches[b].tap_by_op[op_index] = use
+
+    def _analyze_cond(self, op_index: int, op: _Op, entries, leaf_ids) -> None:
+        """Match layers inside every branch of a ``cond`` (lower-to-select).
+
+        ``op.invars[0]`` is the branch index; the remaining operands feed
+        every branch identically. Each branch is matched recursively; a
+        parameter flowing out of the cond is refused.
+        """
+        info = _CondInfo(op_index=op_index)
+        for b, closed_br in enumerate(op.params["branches"]):
+            br_ir = _FlatIR(closed_br)
+            info.branches.append(_CondBranch(ir=br_ir))
+            derived_b: dict[Any, _Derived] = {}
+            for pos, e in enumerate(entries[1:]):
+                if e is not None:
+                    derived_b[br_ir.invar_keys[pos]] = e
+            final = self._match_ir(
+                br_ir, derived_b, in_scan=None, in_cond=(info, b)
+            )
+            out_leaves = [
+                final[a[1]].leaf
+                for a in br_ir.out_atoms
+                if a[0] == "var" and a[1] in final
+            ]
+            if out_leaves:
+                self._flag(out_leaves, "cond (parameter flows out of the cond)")
+        if any(br.layer_ids for br in info.branches):
+            self._cond_infos[op_index] = info
 
     def _analyze_scan(self, op_index: int, op: _Op, entries, leaf_ids) -> None:
         """Recursively match layers inside a top-level scan body."""
@@ -660,10 +790,7 @@ class TracedModel:
         """
         ir_shapes = []
         for use in self.layers:
-            if use.scan_op is None:
-                aval = self._ir.ops[use.op_index].out_keys[0][1].aval
-                ir_shapes.append(jax.ShapeDtypeStruct(tuple(aval.shape), aval.dtype))
-            else:
+            if use.scan_op is not None:
                 info = self._scan_infos[use.scan_op]
                 aval = info.ir.ops[use.op_index].out_keys[0][1].aval
                 ir_shapes.append(
@@ -671,18 +798,34 @@ class TracedModel:
                         (info.length, *aval.shape), aval.dtype
                     )
                 )
+            elif use.cond_op is not None:
+                cinfo = self._cond_infos[use.cond_op]
+                branch = cinfo.branches[use.cond_branch]
+                aval = branch.ir.ops[use.op_index].out_keys[0][1].aval
+                ir_shapes.append(
+                    jax.ShapeDtypeStruct(tuple(aval.shape), aval.dtype)
+                )
+            else:
+                aval = self._ir.ops[use.op_index].out_keys[0][1].aval
+                ir_shapes.append(jax.ShapeDtypeStruct(tuple(aval.shape), aval.dtype))
         return ir_shapes
 
     def apply_with_io(
         self, params: Any, deltas: list[jax.Array], X: Any, frozen: Any = None
-    ) -> tuple[Any, list[jax.Array]]:
-        """Run the model; return ``(prediction, layer_inputs)``.
+    ) -> tuple[Any, list[jax.Array], list[jax.Array]]:
+        """Run the model; return ``(prediction, layer_inputs, layer_gates)``.
 
         ``deltas[i]`` is added to layer ``i``'s pre-bias output (scanned in
         per-iteration for scan layers), so differentiating w.r.t. ``deltas``
         yields the layer-output gradients. ``frozen`` defaults to the pytree
         captured at trace time; kernels should pass it explicitly so it
         enters their jit as an argument.
+
+        ``layer_gates[i]`` is a stop-gradient float scalar: 1 except for
+        layers inside a ``cond`` branch, where it is the branch-taken
+        indicator — the factor kernels scale layer ``i``'s input-covariance
+        contribution by it (an untaken layer contributes a zero Fisher
+        block).
         """
         frozen = self._frozen if frozen is None else frozen
         args_flat = (
@@ -697,6 +840,7 @@ class TracedModel:
             )
         delta_by_layer = {u.layer_id: deltas[u.layer_id] for u in self.layers}
         tap_store: dict[int, jax.Array] = {}
+        gate_store: dict[int, jax.Array] = {}
         out_vals = self._run_ir(
             self._ir,
             args_flat,
@@ -704,9 +848,16 @@ class TracedModel:
             delta_by_layer,
             tap_store,
             self._scan_infos,
+            self._cond_infos,
+            gate_store,
         )
         pred = tree_util.tree_unflatten(self._out_tree, out_vals)
-        return pred, [tap_store[u.layer_id] for u in self.layers]
+        one = jnp.ones((), jnp.float32)
+        return (
+            pred,
+            [tap_store[u.layer_id] for u in self.layers],
+            [gate_store.get(u.layer_id, one) for u in self.layers],
+        )
 
     def _run_ir(
         self,
@@ -716,6 +867,8 @@ class TracedModel:
         delta_by_layer: dict,
         tap_store: dict,
         scan_infos: dict | None,
+        cond_infos: dict | None = None,
+        gate_store: dict | None = None,
     ) -> list:
         """Interpret one IR, adding deltas at taps and rebuilding scans."""
         env: dict = ir.const_env
@@ -771,6 +924,41 @@ class TracedModel:
                     env[k] = o
                 for lid, tap in zip(info.layer_ids, taps):
                     tap_store[lid] = tap
+                continue
+            if cond_infos and op_index in cond_infos:
+                cinfo = cond_infos[op_index]
+                index = vals[0]
+                operands = list(vals[1:])
+                branch_outs = []
+                for b, branch in enumerate(cinfo.branches):
+                    taps_b: dict = {}
+                    outs_b = self._run_ir(
+                        branch.ir,
+                        list(operands),
+                        branch.tap_by_op,
+                        delta_by_layer,
+                        taps_b,
+                        None,
+                        None,
+                    )
+                    branch_outs.append(outs_b)
+                    # gate the untaken branch's layers: the factor kernel
+                    # multiplies their aaT contribution by the gate (its
+                    # deltas are selected away below, so ggT contributions
+                    # vanish through autodiff). Gating the covariance rather
+                    # than the tap keeps the joint-group bias pad correct.
+                    gate = jax.lax.stop_gradient(
+                        (index == b).astype(jnp.float32)
+                    )
+                    for lid, tap in taps_b.items():
+                        tap_store[lid] = tap
+                        gate_store[lid] = gate
+                outs = [
+                    jax.lax.select_n(index, *[bo[j] for bo in branch_outs])
+                    for j in range(len(op.out_keys))
+                ]
+                for k, o in zip(op.out_keys, outs):
+                    env[k] = o
                 continue
 
             ans = op.prim.bind(*vals, **op.params)

@@ -279,7 +279,7 @@ class KFACComputer:
                 jnp.zeros(s.shape, s.dtype)
                 for s in traced.delta_specs(params, X)
             ]
-            (pred, ios), pull = jax.vjp(
+            (pred, ios, gates), pull = jax.vjp(
                 lambda d: traced.apply_with_io(params, d, X, frozen), delta0
             )
 
@@ -331,6 +331,10 @@ class KFACComputer:
                             else jnp.einsum("bsi,bsj->ij", a, a)
                         )
                         S_u = a.shape[-2]
+                    # cond-gated layer: an untaken branch contributes a zero
+                    # Fisher block (the gate is 1 outside conds)
+                    gate = gates[u.layer_id]
+                    cov_u = cov_u * gate.astype(cov_u.dtype)
                     cov = cov_u if cov is None else cov + cov_u
                     S_total += S_u
                 aaT[gi] = cov / (n_data * S_total)
@@ -350,8 +354,11 @@ class KFACComputer:
             G_pred = self._unflatten_rows(G_rows, jnp.shape(pred))
 
             ios_zero = [jnp.zeros_like(i) for i in ios]
+            gates_zero = [jnp.zeros_like(g) for g in gates]
             # ONE batched backward over all V vectors
-            glayers = jax.vmap(lambda gp: pull((gp, ios_zero))[0])(G_pred)
+            glayers = jax.vmap(
+                lambda gp: pull((gp, ios_zero, gates_zero))[0]
+            )(G_pred)
 
             for gi, group in enumerate(groups):
                 parts = [

@@ -132,7 +132,7 @@ class EKFACComputer(KFACComputer):
             delta0 = [
                 jnp.zeros(s.shape, s.dtype) for s in traced.delta_specs(params, X)
             ]
-            (pred, ios), pull = jax.vjp(
+            (pred, ios, gates), pull = jax.vjp(
                 lambda d: traced.apply_with_io(params, d, X, frozen), delta0
             )
             rows = flatten_prediction(loss_fn, jax.lax.stop_gradient(pred))
@@ -144,7 +144,10 @@ class EKFACComputer(KFACComputer):
                 G_rows = G_rows / L
             G_pred = G_rows.reshape(G_rows.shape[0], *jnp.shape(pred))
             ios_zero = [jnp.zeros_like(i) for i in ios]
-            glayers = jax.vmap(lambda gp: pull((gp, ios_zero))[0])(G_pred)
+            gates_zero = [jnp.zeros_like(g) for g in gates]
+            glayers = jax.vmap(
+                lambda gp: pull((gp, ios_zero, gates_zero))[0]
+            )(G_pred)
 
             out = {}
             for gi, group in enumerate(groups):
@@ -272,6 +275,7 @@ class EKFACLinearOperator(KFACLinearOperator):
             int(k): jnp.asarray(v) for k, v in state["lambdas"].items()
         }
         self._rebuild_chain()
+        self.invalidate_traced()
 
     @classmethod
     def from_state_dict(

@@ -365,6 +365,7 @@ class KFACLinearOperator(KroneckerChainOperator):
         aaT = {int(k): jnp.asarray(v) for k, v in state["aaT"].items()}
         ggT = {int(k): jnp.asarray(v) for k, v in state["ggT"].items()}
         self._build_from_factors(self._params, self._groups, aaT, ggT)
+        self.invalidate_traced()
 
     @classmethod
     def from_state_dict(
