@@ -37,19 +37,31 @@ from curvlinops_tpu.kfac.operator import KFACLinearOperator
 
 
 def top_rank_one_kron_factors(
-    P: jax.Array, num_iters: int = 200
-) -> tuple[jax.Array, jax.Array]:
+    P: jax.Array, num_iters: int = 2000, tol: float = 1e-7
+) -> tuple[jax.Array, jax.Array, dict]:
     """Top singular pair of the Van Loan rearrangement, by power iteration.
+
+    The alternating ``R`` / ``R^T`` iteration runs inside a residual-driven
+    ``lax.while_loop``: it stops as soon as the relative singular-pair
+    residual ``||R^T(U) - sigma V||_F / sigma`` drops below ``tol`` (typical
+    well-separated pairs take tens of steps — cheaper than any fixed count),
+    and keeps iterating up to ``num_iters`` when the top pair is
+    near-degenerate (the reference iterates ARPACK ``svds`` to tolerance,
+    ``kfoc_make_fx.py:123-175``; a fixed count silently returned unconverged
+    factors there).
 
     Args:
         P: Per-sample ``vec(W)`` gradients ``[V, N, d_out, d_in]`` scaled so
             ``G = sum vec(P) vec(P)^T`` is the layer GGN block.
-        num_iters: Power-iteration steps (alternating ``R`` / ``R^T``).
+        num_iters: Iteration cap.
+        tol: Relative residual tolerance for early stopping.
 
     Returns:
-        ``(S_1 [d_out, d_out], S_2 [d_in, d_in])`` with
+        ``(S_1 [d_out, d_out], S_2 [d_in, d_in], info)`` with
         ``S_1 (x) S_2 ~= argmin ||G - S_1 (x) S_2||_F`` over rank-one
-        Kronecker approximations. Zero blocks for ``G = 0``.
+        Kronecker approximations; zero blocks for ``G = 0``. ``info`` carries
+        ``iterations``, ``residual`` (relative), and ``sigma`` as device
+        scalars.
     """
     d_out, d_in = P.shape[2], P.shape[3]
     eps = jnp.finfo(P.dtype).tiny
@@ -62,31 +74,44 @@ def top_rank_one_kron_factors(
 
     V0 = jnp.eye(d_in, dtype=P.dtype)
     V0 = V0 / jnp.linalg.norm(V0)
+    big = jnp.asarray(jnp.inf, P.dtype)
 
-    def body(_, carry):
-        V, _sigma = carry
+    def cond(carry):
+        _, _, res, k = carry
+        return jnp.logical_and(k < num_iters, res > tol)
+
+    def body(carry):
+        V, _sigma, _res, k = carry
         U = R(V)
         U = U / jnp.maximum(jnp.linalg.norm(U), eps)
         W = RT(U)
         sigma = jnp.linalg.norm(W)
-        V = W / jnp.maximum(sigma, eps)
-        return V, sigma
+        V_new = W / jnp.maximum(sigma, eps)
+        # relative singular-pair residual; exact 0 block converges instantly
+        res = jnp.linalg.norm(W - sigma * V) / jnp.maximum(sigma, eps)
+        res = jnp.where(sigma <= eps, 0.0, res)
+        return V_new, sigma, res, k + 1
 
-    V, sigma = jax.lax.fori_loop(0, num_iters, body, (V0, jnp.zeros((), P.dtype)))
+    V, sigma, res, iters = jax.lax.while_loop(
+        cond, body, (V0, jnp.zeros((), P.dtype), big, jnp.asarray(0))
+    )
     U = R(V)
     U = U / jnp.maximum(jnp.linalg.norm(U), eps)
     scale = jnp.sqrt(sigma)
     S_1 = scale * U
     S_2 = scale * V
     # G = 0 -> sigma = 0 -> factors are exactly zero via the sqrt scale
-    return S_1, S_2
+    info = {"iterations": iters, "residual": res, "sigma": sigma}
+    return S_1, S_2, info
 
 
 class KFOCComputer(KFACComputer):
     """Single-batch computer for KFOC's per-sample-gradient SVD factors."""
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, power_iters: int = 2000, power_tol: float = 1e-7,
+                 **kwargs):
         kwargs.setdefault("kfac_approx", KFACType.EXPAND)
+        self.power_iters, self.power_tol = power_iters, power_tol
         super().__init__(*args, **kwargs)
         if self.fisher_type not in (FisherType.TYPE2, FisherType.MC):
             raise ValueError(
@@ -131,7 +156,7 @@ class KFOCComputer(KFACComputer):
             delta0 = [
                 jnp.zeros(s.shape, s.dtype) for s in traced.delta_specs(params, X)
             ]
-            (pred, ios), pull = jax.vjp(
+            (pred, ios, gates), pull = jax.vjp(
                 lambda d: traced.apply_with_io(params, d, X, frozen), delta0
             )
             rows = flatten_prediction(loss_fn, jax.lax.stop_gradient(pred))
@@ -143,9 +168,12 @@ class KFOCComputer(KFACComputer):
                 G_rows = G_rows / L
             G_pred = self._unflatten_rows(G_rows, jnp.shape(pred))
             ios_zero = [jnp.zeros_like(i) for i in ios]
-            glayers = jax.vmap(lambda gp: pull((gp, ios_zero))[0])(G_pred)
+            gates_zero = [jnp.zeros_like(g) for g in gates]
+            glayers = jax.vmap(
+                lambda gp: pull((gp, ios_zero, gates_zero))[0]
+            )(G_pred)
 
-            first, second = {}, {}
+            first, second, infos = {}, {}, {}
             sqrt_corr = jnp.sqrt(corr)
             for gi, group in enumerate(groups):
                 g_parts = [
@@ -186,9 +214,12 @@ class KFOCComputer(KFACComputer):
                     else jnp.concatenate(a_parts, axis=1)
                 )
                 Pw = sqrt_corr * jnp.einsum("vnsi,nsj->vnij", g, a)
-                S_1, S_2 = top_rank_one_kron_factors(Pw)
+                S_1, S_2, info = top_rank_one_kron_factors(
+                    Pw, num_iters=self.power_iters, tol=self.power_tol
+                )
                 first[gi], second[gi] = S_1, S_2
-            return first, second
+                infos[gi] = info
+            return first, second, infos
 
         run_params = self.params
         if self.mesh is not None:
@@ -201,7 +232,7 @@ class KFOCComputer(KFACComputer):
             X = shard_batch(X, self.mesh, self.data_axis)
             y = shard_batch(y, self.mesh, self.data_axis)
 
-        first, second = kernel(
+        first, second, infos = kernel(
             self.frozen,
             run_params,
             X,
@@ -209,6 +240,7 @@ class KFOCComputer(KFACComputer):
             jax.random.key(self.seed),
             jnp.float32(correction),
         )
+        self.power_info = infos
         return second, first, groups
 
 
@@ -237,6 +269,8 @@ class KFOCLinearOperator(KFACLinearOperator):
         check_deterministic: bool = True,
         mesh=None,
         data_axis: str = "data",
+        power_iters: int = 2000,
+        power_tol: float = 1e-7,
     ):
         computer = KFOCComputer(
             model_fn,
@@ -253,7 +287,12 @@ class KFOCLinearOperator(KFACLinearOperator):
             check_deterministic=check_deterministic,
             mesh=mesh,
             data_axis=data_axis,
+            power_iters=power_iters,
+            power_tol=power_tol,
         )
         aaT, ggT, groups = computer.compute_kfoc()
         self._build_from_factors(params, groups, aaT, ggT)
         self._computer = computer
+        #: per-group power-iteration convergence info
+        #: ({group_index: {"iterations", "residual", "sigma"}})
+        self.power_info = computer.power_info

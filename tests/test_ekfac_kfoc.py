@@ -219,3 +219,64 @@ def test_ekfac_exact_damped_inverse_after_batched_eigh():
     v = np.random.default_rng(8).standard_normal(len(dense)).astype(np.float32)
     expected = np.linalg.solve(dense + 0.5 * np.eye(len(dense)), v)
     report_nonclose(inv @ v, expected, rtol=5e-3, atol=1e-4, name="exact inv")
+
+
+def test_kfoc_power_iteration_converges_near_degenerate():
+    """A near-degenerate top pair (sigma2/sigma1 ~ 0.998) converges to the
+    dense-SVD factors via the residual-driven while_loop (a fixed 200-step
+    power loop leaves ~45% of the subdominant direction in the factor)."""
+    from curvlinops_tpu.kfac.kfoc import top_rank_one_kron_factors
+
+    d = 3
+    # G = S1 (x) S2 + 0.998 * T1 (x) T2 with trace-orthogonal rank-one PSD
+    # factors: the Van Loan rearrangement has singular values exactly
+    # {1, 0.998}
+    u1, u2 = np.eye(d)[:, 0], np.eye(d)[:, 1]
+    q = np.linalg.qr(np.random.default_rng(0).normal(size=(d, d)))[0]
+    w1, w2 = q[:, 0], q[:, 1]
+    G = np.kron(np.outer(u1, u1), np.outer(w1, w1)) + 0.998 * np.kron(
+        np.outer(u2, u2), np.outer(w2, w2)
+    )
+    # synthesize per-sample gradients with exactly this GGN block
+    evals, evecs = np.linalg.eigh(G)
+    evals = np.clip(evals, 0.0, None)
+    P = (np.sqrt(evals)[:, None] * evecs.T).reshape(-1, d, d)[None]
+    P = jnp.asarray(P, jnp.float32)  # [V=1, N=d*d, d, d]
+
+    S1, S2, info = top_rank_one_kron_factors(P)
+    assert int(info["iterations"]) > 200  # genuinely needed the extra steps
+    S1_ref, S2_ref = _dense_vanloan_top_pair(G, d, d)
+    report_nonclose(
+        np.kron(np.asarray(S1), np.asarray(S2)),
+        np.kron(S1_ref, S2_ref),
+        rtol=5e-3,
+        atol=5e-4,  # float32 eigenvector floor for a 0.002 spectral gap
+        name="near-degenerate kfoc pair",
+    )
+
+
+def test_kfoc_power_iteration_early_stop_well_separated():
+    """Well-separated pairs stop far below the cap and report the residual."""
+    from curvlinops_tpu.kfac.kfoc import top_rank_one_kron_factors
+
+    key = jax.random.key(3)
+    P = jax.random.normal(key, (2, 4, 3, 5))
+    S1, S2, info = top_rank_one_kron_factors(P, tol=1e-6)
+    assert int(info["iterations"]) < 200
+    assert float(info["residual"]) <= 1e-6
+    assert float(info["sigma"]) > 0
+
+
+def test_kfoc_operator_exposes_power_info():
+    case = make_case("mlp_ce_mean")
+    X, y = case["data"][0]
+    kfoc = KFOCLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], [(X, y)],
+        fisher_type=FisherType.TYPE2, check_deterministic=False,
+    )
+    weight_groups = [
+        gi for gi, g in enumerate(kfoc.groups) if g.weight_path is not None
+    ]
+    assert set(kfoc.power_info) == set(weight_groups)
+    for gi in weight_groups:
+        assert float(kfoc.power_info[gi]["residual"]) < 1e-5
