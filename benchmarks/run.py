@@ -120,7 +120,7 @@ def _single_readback(tree) -> None:
         float(total)
 
 
-def bench_kfac(prob, results: dict) -> None:
+def bench_kfac(prob, results: dict, kfac_approx: str = "expand") -> None:
     from curvlinops_tpu.kfac.operator import KFACLinearOperator
 
     kfac = KFACLinearOperator(
@@ -130,6 +130,7 @@ def bench_kfac(prob, results: dict) -> None:
         prob.data,
         fisher_type="mc",
         mc_samples=1,
+        kfac_approx=kfac_approx,
         check_deterministic=False,
     )
     jax.block_until_ready((kfac._aaT, kfac._ggT))
@@ -223,55 +224,14 @@ def bench_ekfac(prob, results: dict) -> None:
     results["EKFAC build (s)"] = round(time.perf_counter() - t0, 4)
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument(
-        "--problem",
-        default="mnist_mlp",
-        choices=["mnist_mlp", "cifar10_resnet18", "imagenet_resnet50",
-                 "shakespeare_nanogpt"],
-    )
-    parser.add_argument(
-        "--ops",
-        default="gradient,hessian,ggn,ggn_mc,ef,kfac,ekfac",
-        help="comma-separated subset",
-    )
-    parser.add_argument("--batch-size", type=int, default=None)
-    parser.add_argument(
-        "--dtype", default="float32", choices=["float32", "bfloat16"],
-        help="parameter/activation dtype (bfloat16 = TPU-native speed mode)",
-    )
-    parser.add_argument(
-        "--scan-blocks", action="store_true",
-        help="scan-stacked transformer blocks (shakespeare_nanogpt only)",
-    )
-    args = parser.parse_args()
-
+def run_benchmarks(prob, ops, results: dict) -> None:
+    """Dispatch the selected operator benchmarks into ``results``."""
     from curvlinops_tpu.curvature.ef import make_batch_ef_matmat
     from curvlinops_tpu.curvature.ggn import (
         make_batch_ggn_matmat,
         make_batch_ggn_mc_matmat,
     )
     from curvlinops_tpu.curvature.hessian import make_batch_hessian_matmat
-    from curvlinops_tpu.models import PROBLEMS
-
-    setup = PROBLEMS["synthetic_" + args.problem]
-    setup_kwargs = {"dtype": jnp.dtype(args.dtype)}
-    if args.batch_size:
-        setup_kwargs["batch_size"] = args.batch_size
-    if args.scan_blocks:
-        setup_kwargs["scan_blocks"] = True
-    prob = setup(**setup_kwargs)
-    ops = args.ops.split(",")
-
-    print(f"problem={prob.name} device={jax.devices()[0]}", file=sys.stderr)
-    results: dict = {
-        "problem": prob.name,
-        "device": str(jax.devices()[0]),
-        "dtype": args.dtype,
-    }
-    if args.scan_blocks:
-        results["scan_blocks"] = True
 
     if "gradient" in ops:
         results["gradient+loss (ms)"] = round(bench_gradient(prob), 3)
@@ -295,9 +255,78 @@ def main() -> None:
             bench_matvec_operator(make_batch_ef_matmat, prob), 3
         )
     if "kfac" in ops:
-        bench_kfac(prob, results)
+        bench_kfac(prob, results, kfac_approx=results.get("kfac_approx", "expand"))
     if "ekfac" in ops:
         bench_ekfac(prob, results)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--problem",
+        default="mnist_mlp",
+        choices=["mnist_mlp", "cifar10_resnet18", "imagenet_resnet50",
+                 "shakespeare_nanogpt"],
+    )
+    parser.add_argument(
+        "--ops",
+        default="gradient,hessian,ggn,ggn_mc,ef,kfac,ekfac",
+        help="comma-separated subset",
+    )
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument(
+        "--dtype", default="float32", choices=["float32", "bfloat16"],
+        help="parameter/activation dtype (bfloat16 = TPU-native speed mode)",
+    )
+    parser.add_argument(
+        "--scan-blocks", action="store_true",
+        help="scan-stacked transformer blocks (shakespeare_nanogpt only)",
+    )
+    parser.add_argument(
+        "--kfac-approx", default="expand", choices=["expand", "reduce"],
+        help="KFAC sharing approximation for the kfac benchmark "
+        "(reduce exercises the averaged-patch no-materialization path)",
+    )
+    parser.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="capture a jax.profiler trace of the measured region into DIR "
+        "(view with TensorBoard / xprof; SURVEY §5 tracing hook)",
+    )
+    args = parser.parse_args()
+
+    from curvlinops_tpu.models import PROBLEMS
+
+    setup = PROBLEMS["synthetic_" + args.problem]
+    setup_kwargs = {"dtype": jnp.dtype(args.dtype)}
+    if args.batch_size:
+        setup_kwargs["batch_size"] = args.batch_size
+    if args.scan_blocks:
+        setup_kwargs["scan_blocks"] = True
+    prob = setup(**setup_kwargs)
+    ops = args.ops.split(",")
+
+    print(f"problem={prob.name} device={jax.devices()[0]}", file=sys.stderr)
+    results: dict = {
+        "problem": prob.name,
+        "device": str(jax.devices()[0]),
+        "dtype": args.dtype,
+    }
+    if args.scan_blocks:
+        results["scan_blocks"] = True
+    if args.kfac_approx != "expand":
+        results["kfac_approx"] = args.kfac_approx
+
+    import contextlib
+
+    # opt-in device tracing (SURVEY §5): the trace covers exactly the
+    # measured region and opens in TensorBoard / xprof
+    profile_ctx = (
+        jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
+    )
+    with profile_ctx:
+        run_benchmarks(prob, ops, results)
 
     peak = _device_peak_memory_gib()
     if peak is not None:

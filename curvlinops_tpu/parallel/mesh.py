@@ -57,25 +57,72 @@ def shard_batch(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
     return jax.tree.map(shard, tree)
 
 
-def shard_params(tree: Any, mesh: Mesh, axis: str = "model", min_size: int = 1024) -> Any:
+def shard_params(
+    tree: Any,
+    mesh: Mesh,
+    axis: str = "model",
+    min_size: int = 1024,
+    report: dict | None = None,
+    verbose: bool = False,
+) -> Any:
     """Shard large parameter matrices over a model axis (tensor-parallel style).
 
     Each 2D+ leaf whose trailing dimension is divisible by the axis size and
     at least ``min_size`` is sharded on that dimension; everything else is
     replicated. XLA inserts the all-gathers/reduce-scatters where the jitted
     curvature kernels need them.
+
+    Args:
+        tree: Parameter pytree.
+        mesh: Device mesh.
+        axis: Mesh axis to shard over.
+        min_size: Minimum trailing-dim size to shard.
+        report: Optional dict, filled with ``{"sharded": [(path, shape)],
+            "replicated": [(path, shape, reason)]}`` so callers can see
+            exactly what the heuristic did (nothing is ever silently
+            replicated without a recorded reason).
+        verbose: Print a one-line summary of the placement.
+
+    Returns:
+        The placed pytree.
     """
     axis_size = mesh.shape[axis]
+    sharded: list = []
+    replicated: list = []
 
-    def place(leaf):
+    def place(path, leaf):
         shape = jax.numpy.shape(leaf)
-        if (
-            len(shape) >= 2
-            and shape[-1] % axis_size == 0
-            and shape[-1] >= min_size
-        ):
+        name = jax.tree_util.keystr(path)
+        if len(shape) < 2:
+            replicated.append((name, shape, "fewer than 2 dims"))
+        elif shape[-1] % axis_size != 0:
+            replicated.append(
+                (name, shape,
+                 f"trailing dim {shape[-1]} not divisible by {axis_size}")
+            )
+        elif shape[-1] < min_size:
+            replicated.append(
+                (name, shape, f"trailing dim {shape[-1]} < min_size={min_size}")
+            )
+        else:
+            sharded.append((name, shape))
             spec = P(*([None] * (len(shape) - 1)), axis)
             return jax.device_put(leaf, NamedSharding(mesh, spec))
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
-    return jax.tree.map(place, tree)
+    out = jax.tree_util.tree_map_with_path(place, tree)
+    if report is not None:
+        report["sharded"] = sharded
+        report["replicated"] = replicated
+    if verbose:
+        n_sh = sum(int(np.prod(s)) for _, s in sharded)
+        n_rep = sum(int(np.prod(s)) for _, s, _ in replicated)
+        print(
+            f"shard_params: {len(sharded)} leaves sharded over '{axis}' "
+            f"({n_sh:,} params), {len(replicated)} replicated "
+            f"({n_rep:,} params)"
+        )
+        for name, shape, reason in replicated:
+            if np.prod(shape) >= min_size:
+                print(f"  replicated {name} {shape}: {reason}")
+    return out
