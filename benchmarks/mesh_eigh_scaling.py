@@ -4,12 +4,26 @@ Exact-damped KFAC inversion and EKFAC builds are eigh-bound (RESULTS.md):
 XLA's single-chip eigh is already the fastest single-chip option
 (micro_eigh.py), so the remaining lever is distributing the independent
 per-factor decompositions across a mesh (`kfac/chain.py::batched_eigh
-(mesh=...)`). Real multi-chip hardware is not available in this build
-environment, so this measures RELATIVE scaling on a virtual CPU mesh
-(1/2/4/8 devices, honestly labeled): each factor in a shape batch is an
-independent ``syevd``, so the mesh parallelism pattern — shard the stack
-axis, one local batch per device, no collectives until the (tiny) gather —
-is identical on an ICI-connected TPU pod slice.
+(mesh=...)`).
+
+Measurement reality on this build host: real multi-chip hardware is not
+available, and the host exposes ONE CPU core (``nproc`` = 1), so a virtual
+8-device CPU mesh serializes — wall-clock "scaling" measured here would be
+pure scheduler noise (verified: early runs produced 0.4x-2.7x garbage).
+What CAN be established honestly:
+
+1. the per-stack eigh baseline is SERIAL (process_time/wall ratio 1.0 —
+   the batched LAPACK syevd custom call runs one matrix at a time), and
+2. `batched_eigh(mesh=...)` shards the stack axis evenly (functional
+   equality tests in tests/test_parallel.py; padding to a multiple of the
+   axis size), with no cross-matrix dependencies and a gather of only
+   [n, D] eigenvalues + [n, D, D] vectors at the end.
+
+Each mesh device therefore executes ceil(n/n_dev) independent local eighs
+back-to-back, giving the deterministic critical-path projection
+``t_ndev = ceil(n/n_dev)/n * t_serial`` reported below — about as solid as
+a projection gets for an embarrassingly parallel phase (ICI gather time for
+the [12, 3072^2] result is ~100 MB / ~45 GB/s ~= 2-3 ms, noise).
 
 Usage::
 
@@ -19,6 +33,7 @@ Usage::
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -26,11 +41,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
@@ -38,9 +48,6 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
-
-from curvlinops_tpu.kfac.chain import batched_eigh  # noqa: E402
-from curvlinops_tpu.parallel.mesh import make_mesh  # noqa: E402
 
 
 def factor_stacks(key) -> dict:
@@ -57,33 +64,48 @@ def factor_stacks(key) -> dict:
     return out
 
 
-def timed(fn, reps: int = 2) -> float:
-    out = fn()
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def main() -> None:
-    print(f"devices: {len(jax.devices())} x {jax.devices()[0].platform}",
-          file=sys.stderr)
     mats = factor_stacks(jax.random.key(0))
-    results = {"device": "virtual CPU mesh (relative scaling only)"}
+    results: dict = {"host_cores": os.cpu_count()}
 
-    base = timed(lambda: batched_eigh(mats))
-    results["mesh=1 (no mesh) s"] = round(base, 2)
-    print(f"no mesh: {base:.2f} s", file=sys.stderr)
+    serial = {}
+    for name, A in mats.items():
+        f = jax.jit(jnp.linalg.eigh)
+        jax.block_until_ready(f(A))  # compile
+        best, cpu_ratio = float("inf"), 0.0
+        for _ in range(2):
+            t0, p0 = time.perf_counter(), time.process_time()
+            jax.block_until_ready(f(A))
+            t1, p1 = time.perf_counter(), time.process_time()
+            if t1 - t0 < best:
+                best, cpu_ratio = t1 - t0, (p1 - p0) / (t1 - t0)
+        serial[name] = best
+        results[f"serial {name} {tuple(A.shape)} (s)"] = round(best, 2)
+        results[f"serial {name} cores used"] = round(cpu_ratio, 2)
+        print(
+            f"{name} {tuple(A.shape)}: {best:.2f} s serial "
+            f"({cpu_ratio:.2f} cores used)",
+            file=sys.stderr,
+        )
+
+    total = sum(serial.values())
+    results["serial total (s)"] = round(total, 2)
+    L = 12  # stack length per shape
     for n_dev in (2, 4, 8):
-        mesh = make_mesh(n_dev, ("data",), (n_dev,))
-        t = timed(lambda: batched_eigh(mats, mesh=mesh))
-        results[f"mesh={n_dev} s"] = round(t, 2)
-        results[f"mesh={n_dev} speedup"] = round(base / t, 2)
-        print(f"mesh={n_dev}: {t:.2f} s  ({base / t:.2f}x)", file=sys.stderr)
+        local = math.ceil(L / n_dev)
+        projected = total * local / L
+        results[f"mesh={n_dev} projected (s)"] = round(projected, 2)
+        results[f"mesh={n_dev} projected speedup"] = round(total / projected, 2)
+        print(
+            f"mesh={n_dev}: ceil({L}/{n_dev})={local} local eighs/device -> "
+            f"{projected:.2f} s projected ({total / projected:.2f}x)",
+            file=sys.stderr,
+        )
+    results["note"] = (
+        "1-core build host: virtual-device wall clock is meaningless; "
+        "projection = ceil(L/n)/L * serial (independent identical eighs, "
+        "per-matrix serial baseline verified via process_time ratio)"
+    )
 
     out = Path(__file__).parent / "results" / "mesh_eigh_scaling.json"
     out.write_text(json.dumps(results, indent=2))

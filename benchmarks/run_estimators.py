@@ -31,18 +31,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, reps: int = 2) -> tuple[float, object]:
-    out = fn()
+def _barrier(out) -> None:
+    """Reduce EVERY array leaf into one device scalar, then ONE readback.
+
+    Per-leaf readbacks serialize ~30 ms round trips each on this tunnel
+    (n_leaves x 30 ms overcounts a multi-leaf result by seconds);
+    ``block_until_ready`` has under-waited (CLAUDE.md)."""
+    total = None
     for leaf in jax.tree.leaves(out):
         if isinstance(leaf, jax.Array):
-            float(jnp.sum(jnp.abs(leaf.reshape(-1)[-1])))  # warmup barrier
+            s = jnp.sum(jnp.abs(leaf.reshape(-1)[-1])).astype(jnp.float32)
+            total = s if total is None else total + s
+    if total is not None:
+        float(total)
+
+
+def timed(fn, reps: int = 2) -> tuple[float, object]:
+    out = fn()
+    _barrier(out)  # warmup
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn()
-        for leaf in jax.tree.leaves(out):
-            if isinstance(leaf, jax.Array):
-                float(jnp.sum(jnp.abs(leaf.reshape(-1)[-1])))
+        _barrier(out)
         best = min(best, time.perf_counter() - t0)
     return best, out
 

@@ -401,6 +401,10 @@ class EmpiricalRiskOperator(LinearOperator):
         if self._loss_fn is None:
             raise ValueError("No loss function specified.")
 
+        fused = self._fused_gradient_and_loss()
+        if fused is not None:
+            return fused()
+
         if "grad_loss" not in self._batch_fn_cache:
             frozen, raw = unwrap_model_fn(self._model_fn)
             loss_fn = self._loss_fn
@@ -425,6 +429,58 @@ class EmpiricalRiskOperator(LinearOperator):
             total_loss = loss if total_loss is None else total_loss + loss
             total_grad = grad if total_grad is None else _tree_add(total_grad, grad)
         return total_grad, total_loss
+
+    def _fused_gradient_and_loss(self) -> Callable | None:
+        """One-dispatch full-dataset gradient+loss (same policy as
+        :meth:`_fused_matmat`); ``None`` to stream."""
+        if self._progressbar or getattr(self, "fuse_batches", "auto") is False:
+            return None
+        cache = self._batch_fn_cache
+        if "fused_state" not in cache:
+            self._materialize_fused_state()
+        if cache["fused_state"] is None:
+            return None
+
+        mode, data, cs, keys = cache["fused_state"]
+        if "fused_grad_loss" not in cache:
+            frozen, raw = unwrap_model_fn(self._model_fn)
+            loss_fn = self._loss_fn
+
+            def batch_grad_loss(frozen, params, X, y, c):
+                def objective(p):
+                    return c * loss_fn(raw(frozen, p, X), y)
+
+                return jax.value_and_grad(objective)(params)
+
+            if mode == "scan":
+
+                def fused(frozen, params, data, cs):
+                    init = (jnp.zeros((), self.dtype),
+                            jax.tree.map(jnp.zeros_like, params))
+
+                    def body(acc, xs):
+                        (X, y), c = xs
+                        loss, grad = batch_grad_loss(frozen, params, X, y, c)
+                        return (acc[0] + loss, tree_add(acc[1], grad)), None
+
+                    (loss, grad), _ = jax.lax.scan(body, init, (data, cs))
+                    return grad, loss
+
+            else:
+
+                def fused(frozen, params, data, cs):
+                    loss, grad = None, None
+                    for i, (X, y) in enumerate(data):
+                        l_i, g_i = batch_grad_loss(frozen, params, X, y, cs[i])
+                        loss = l_i if loss is None else loss + l_i
+                        grad = g_i if grad is None else tree_add(grad, g_i)
+                    return grad, loss
+
+            jitted = jax.jit(fused)
+            cache["fused_grad_loss"] = (jitted, frozen)
+        jitted, frozen = cache["fused_grad_loss"]
+        params = self._replicate(self._params)
+        return lambda: jitted(frozen, params, data, cs)
 
     # ------------------------------------------------------------------ #
     # Determinism safety rails

@@ -173,3 +173,21 @@ def test_traced_invalidation_on_mutation():
     np.testing.assert_allclose(
         np.asarray(fn2(v, *consts2)), 11.0 * np.ones((4, 1))
     )
+
+
+@pytest.mark.parametrize("ragged", [False, True], ids=["uniform", "ragged"])
+def test_fused_gradient_and_loss_matches_streaming(ragged):
+    model_fn, params, data = _mlp_problem(n_batches=4, ragged=ragged)
+    G1 = cl.GGNLinearOperator(
+        model_fn, CrossEntropyLoss("mean"), params, data, check_deterministic=False
+    )
+    G2 = cl.GGNLinearOperator(
+        model_fn, CrossEntropyLoss("mean"), params, data, check_deterministic=False
+    )
+    G2.fuse_batches = False
+    g1, l1 = G1.gradient_and_loss()
+    g2, l2 = G2.gradient_and_loss()
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
