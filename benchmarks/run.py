@@ -283,6 +283,11 @@ def main() -> None:
         help="scan-stacked transformer blocks (shakespeare_nanogpt only)",
     )
     parser.add_argument(
+        "--attention", default=None, choices=["fused", "einsum", "flash"],
+        help="attention implementation for shakespeare_nanogpt (flash = "
+        "Pallas TPU kernel, reverse-mode only: gradient/kfac/ekfac ops)",
+    )
+    parser.add_argument(
         "--kfac-approx", default="expand", choices=["expand", "reduce"],
         help="KFAC sharing approximation for the kfac benchmark "
         "(reduce exercises the averaged-patch no-materialization path)",
@@ -302,6 +307,8 @@ def main() -> None:
         setup_kwargs["batch_size"] = args.batch_size
     if args.scan_blocks:
         setup_kwargs["scan_blocks"] = True
+    if args.attention:
+        setup_kwargs["attention_impl"] = args.attention
     prob = setup(**setup_kwargs)
     ops = args.ops.split(",")
 
@@ -315,6 +322,8 @@ def main() -> None:
         results["scan_blocks"] = True
     if args.kfac_approx != "expand":
         results["kfac_approx"] = args.kfac_approx
+    if args.attention:
+        results["attention"] = args.attention
 
     import contextlib
 
@@ -337,6 +346,8 @@ def main() -> None:
     suffix = "" if args.dtype == "float32" else f"_{args.dtype}"
     if args.scan_blocks:
         suffix += "_scan"
+    if args.attention:
+        suffix += f"_{args.attention}"
     out_file = out_dir / f"{prob.name}{suffix}.json"
     if out_file.exists():  # merge: partial runs must not drop earlier metrics
         merged = json.loads(out_file.read_text())

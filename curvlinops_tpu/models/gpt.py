@@ -29,12 +29,17 @@ from curvlinops_tpu.models.resnet import kfac_restricted
 class GPTConfig:
     """Model geometry (defaults = nanoGPT's GPT-2 small).
 
-    ``attention_impl``: ``"fused"`` routes through
-    ``jax.nn.dot_product_attention`` (XLA's fused causal-attention lowering —
-    no materialized ``[T, T]`` boolean mask, differentiable in BOTH autodiff
-    modes, which the jvp-based Hessian/GGN kernels require; a Pallas
-    flash-attention custom-vjp would refuse forward-mode). ``"einsum"`` keeps
-    the explicit einsum-softmax for A/B comparison.
+    ``attention_impl`` (A/B'd on a v5e chip, benchmarks/RESULTS.md):
+
+    - ``"einsum"`` (default): explicit einsum-softmax with a tril mask. XLA
+      fuses it well — fastest differentiable-in-both-modes form measured
+      (bf16 GGN-VP 69 ms vs 88 ms for "fused").
+    - ``"fused"``: ``jax.nn.dot_product_attention``. fp32 parity with
+      einsum, but ~27% slower in bf16 (internal f32 softmax upcasts).
+    - ``"flash"``: Pallas TPU flash attention — no [T, T] HBM traffic, but
+      its custom_vjp is reverse-mode ONLY: gradient and KFAC/EKFAC factor
+      builds work; anything needing jvp (Hessian, GGN, MC-Fisher, and this
+      library's EF-VP, which computes Jv forward-mode) refuses.
     """
 
     block_size: int = 1024
@@ -42,7 +47,7 @@ class GPTConfig:
     n_layer: int = 12
     n_head: int = 12
     n_embd: int = 768
-    attention_impl: str = "fused"
+    attention_impl: str = "einsum"
 
 
 def _layernorm(x, p):
@@ -51,13 +56,34 @@ def _layernorm(x, p):
     return p["scale"] * (x - mean) * jax.lax.rsqrt(var + 1e-5) + p["bias"]
 
 
-def _attention(params, x, n_head, impl: str = "fused"):
+def _attention(params, x, n_head, impl: str = "einsum"):
     B, T, C = x.shape
     qkv = x @ params["attn_qkv"]["W"] + params["attn_qkv"]["b"]  # [B, T, 3C]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     hd = C // n_head
 
-    if impl == "fused":
+    if impl == "flash":
+        # Pallas TPU flash attention (jax.experimental.pallas.ops.tpu):
+        # never materializes [T, T] score tensors in HBM. Its custom_vjp is
+        # reverse-mode ONLY — gradient and KFAC/EKFAC builds work; kernels
+        # that need jvp (Hessian/GGN/MC-Fisher/EF-VP) refuse — use
+        # "einsum"/"fused" for those.
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention,
+        )
+
+        def heads_bhtd(t):
+            return t.reshape(B, T, n_head, hd).transpose(0, 2, 1, 3)
+
+        out = flash_attention(
+            heads_bhtd(q),
+            heads_bhtd(k),
+            heads_bhtd(v),
+            causal=True,
+            sm_scale=1.0 / float(hd) ** 0.5,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+    elif impl == "fused":
         # XLA's fused causal attention: no [T, T] mask materialization, and
         # jvp/vjp both flow (Hessian = jvp-of-grad needs forward mode)
         def heads_btnh(t):
@@ -84,7 +110,7 @@ def _attention(params, x, n_head, impl: str = "fused"):
     return out @ params["attn_proj"]["W"] + params["attn_proj"]["b"]
 
 
-def _block(params, x, n_head, impl: str = "fused"):
+def _block(params, x, n_head, impl: str = "einsum"):
     x = x + _attention(params, _layernorm(x, params["ln1"]), n_head, impl)
     h = _layernorm(x, params["ln2"])
     h = jax.nn.gelu(h @ params["mlp_fc"]["W"] + params["mlp_fc"]["b"])
@@ -177,13 +203,20 @@ def shakespeare_nanogpt(
     seed: int = 0,
     dtype=jnp.float32,
     scan_blocks: bool = False,
+    attention_impl: str | None = None,
 ) -> Problem:
     """Synthetic-Shakespeare nanoGPT problem (random tokens, next-token CE).
 
     ``scan_blocks=True`` stacks the transformer blocks into one ``lax.scan``
     (same math, one traced block body, KFAC factors batched over layers).
+    ``attention_impl`` overrides the config's attention implementation
+    (``"flash"`` = Pallas TPU kernel, reverse-mode only).
     """
     config = config or GPTConfig()
+    if attention_impl is not None:
+        from dataclasses import replace
+
+        config = replace(config, attention_impl=attention_impl)
     key = jax.random.key(seed)
     kp, kd = jax.random.split(key)
     params = init_gpt(kp, config, dtype)

@@ -380,6 +380,22 @@ class EmpiricalRiskOperator(LinearOperator):
                 stacked = jax.tree.map(
                     lambda *leaves: jnp.stack(leaves), *batches
                 )
+                if self._mesh is not None:
+                    # keep the (now second) batch axis sharded over the mesh
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    def reshard(leaf):
+                        spec = (
+                            P(None, self._data_axis,
+                              *([None] * (jnp.ndim(leaf) - 2)))
+                            if jnp.ndim(leaf) >= 2
+                            else P()
+                        )
+                        return jax.device_put(
+                            leaf, NamedSharding(self._mesh, spec)
+                        )
+
+                    stacked = jax.tree.map(reshard, stacked)
                 cache["fused_state"] = ("scan", stacked, cs, keys)
             else:
                 cache["fused_state"] = ("unroll", tuple(batches), cs, keys)

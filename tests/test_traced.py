@@ -191,3 +191,27 @@ def test_fused_gradient_and_loss_matches_streaming(ragged):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-7)
+
+
+def test_cg_with_kfac_preconditioner_fused():
+    """Natural-gradient style: CG on the damped GGN preconditioned by the
+    KFAC inverse — the whole solve (operator + Kronecker-chain
+    preconditioner) fuses into one program via traced()."""
+    from curvlinops_tpu.kfac.operator import KFACLinearOperator
+
+    model_fn, params, data = _mlp_problem(n_batches=2)
+    loss = CrossEntropyLoss("mean")
+    G = cl.GGNLinearOperator(model_fn, loss, params, data,
+                             check_deterministic=False)
+    damped = G + 1e-2 * cl.IdentityLinearOperator(G.in_spec)
+    kfac = KFACLinearOperator(model_fn, loss, params, data,
+                              check_deterministic=False)
+    precond = kfac.inverse(damping=1e-2)
+
+    cg = cl.CGInverseLinearOperator(damped, maxiter=200, tol=1e-8,
+                                    preconditioner=precond)
+    v = np.random.default_rng(4).normal(size=G.shape[1]).astype(np.float32)
+    x = cg @ v
+    Gd = np.asarray(damped @ np.eye(damped.shape[0], dtype=np.float32))
+    np.testing.assert_allclose(Gd @ x, v, atol=1e-3)
+    assert int(cg.last_info["iterations"]) < 200  # converged before the cap
