@@ -220,6 +220,11 @@ def extract_conv_patches(x: jax.Array, meta: dict) -> jax.Array:
     return patches
 
 
+# A/B switch (benchmarks/reduce_memory_ab.py): force REDUCE mode through the
+# materializing [B, S, d_in] patch path instead of the averaged extraction
+FORCE_MATERIALIZED_REDUCE = False
+
+
 def _group_average_channels(x: jax.Array, meta: dict) -> jax.Array:
     """Average the input over channel groups (``kfac_utils.py:117-121``)."""
     groups = meta["feature_group_count"]
@@ -324,7 +329,8 @@ def input_to_sharing_format(
     """
     scan = meta.get("scan")
     use_averaged = (
-        kfac_approx == KFACType.REDUCE
+        not FORCE_MATERIALIZED_REDUCE
+        and kfac_approx == KFACType.REDUCE
         and kind == "conv"
         and meta["batch_group_count"] == 1
         and all(d == 1 for d in meta["lhs_dilation"])

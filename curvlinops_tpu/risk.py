@@ -352,7 +352,7 @@ class EmpiricalRiskOperator(LinearOperator):
         cache = self._batch_fn_cache
         with jax.ensure_compile_time_eval():
             batches = list(self._loop_over_data(desc="fuse_batches"))
-            if len(batches) < 2 or len(batches) > self._FUSE_UNROLL_LIMIT:
+            if len(batches) < 2:
                 cache["fused_state"] = None
                 return
             cs = jnp.asarray(
@@ -376,6 +376,12 @@ class EmpiricalRiskOperator(LinearOperator):
                 for l in jax.tree.leaves(b)
             )
             uniform = len(structures) == 1 and len(shapes) == 1
+            if not (uniform and nbytes <= self._FUSE_STACK_BYTE_LIMIT) and (
+                len(batches) > self._FUSE_UNROLL_LIMIT
+            ):
+                # ragged/huge datasets past the unroll limit stream instead
+                cache["fused_state"] = None
+                return
             if uniform and nbytes <= self._FUSE_STACK_BYTE_LIMIT:
                 stacked = jax.tree.map(
                     lambda *leaves: jnp.stack(leaves), *batches

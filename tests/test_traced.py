@@ -96,6 +96,29 @@ def test_fused_batch_accumulation_matches_streaming(ragged):
     np.testing.assert_allclose(out_fused, out_stream, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("ragged", [False, True], ids=["uniform", "ragged"])
+def test_fuse_policy_past_unroll_limit(ragged, monkeypatch):
+    """Past the unroll limit, uniform datasets still fuse via scan (O(1)
+    trace), while ragged ones stream (unrolling would blow up the trace)."""
+    model_fn, params, data = _mlp_problem(n_batches=4, ragged=ragged)
+    G = cl.GGNLinearOperator(
+        model_fn, CrossEntropyLoss("mean"), params, data, check_deterministic=False
+    )
+    monkeypatch.setattr(type(G), "_FUSE_UNROLL_LIMIT", 2)
+    v = np.random.default_rng(3).normal(size=G.shape[1]).astype(np.float32)
+    out = G @ v
+    state = G._batch_fn_cache.get("fused_state")
+    if ragged:
+        assert state is None  # streams batch-by-batch
+    else:
+        assert state is not None and state[0] == "scan"
+    G2 = cl.GGNLinearOperator(
+        model_fn, CrossEntropyLoss("mean"), params, data, check_deterministic=False
+    )
+    G2.fuse_batches = False
+    np.testing.assert_allclose(out, G2 @ v, rtol=1e-5, atol=1e-6)
+
+
 def test_fused_neumann_matches_dense_inverse_with_preconditioner():
     M = jax.random.normal(jax.random.key(0), (8, 8)) / 8
     A = cl.MatrixLinearOperator(M @ M.T + jnp.eye(8))
