@@ -67,19 +67,24 @@ def shard_params(
 ) -> Any:
     """Shard large parameter matrices over a model axis (tensor-parallel style).
 
-    Each 2D+ leaf whose trailing dimension is divisible by the axis size and
-    at least ``min_size`` is sharded on that dimension; everything else is
-    replicated. XLA inserts the all-gathers/reduce-scatters where the jitted
-    curvature kernels need them.
+    For each 2D+ leaf the LARGEST dimension that is divisible by the axis
+    size and at least ``min_size`` is sharded (the trailing dim wins ties —
+    output-dim sharding lets XLA keep the matmul result sharded); leaves
+    with no eligible dimension are replicated. XLA inserts the
+    all-gathers/reduce-scatters where the jitted curvature kernels need
+    them. Picking the largest dim rather than only the trailing one means
+    e.g. a ``[vocab, d]`` embedding with an odd vocab still shards on
+    ``vocab``-divisible meshes or falls back to the hidden dim instead of
+    silently replicating its hundreds of MB.
 
     Args:
         tree: Parameter pytree.
         mesh: Device mesh.
         axis: Mesh axis to shard over.
-        min_size: Minimum trailing-dim size to shard.
-        report: Optional dict, filled with ``{"sharded": [(path, shape)],
-            "replicated": [(path, shape, reason)]}`` so callers can see
-            exactly what the heuristic did (nothing is ever silently
+        min_size: Minimum dimension size to shard.
+        report: Optional dict, filled with ``{"sharded": [(path, shape,
+            dim)], "replicated": [(path, shape, reason)]}`` so callers can
+            see exactly what the heuristic did (nothing is ever silently
             replicated without a recorded reason).
         verbose: Print a one-line summary of the placement.
 
@@ -95,19 +100,24 @@ def shard_params(
         name = jax.tree_util.keystr(path)
         if len(shape) < 2:
             replicated.append((name, shape, "fewer than 2 dims"))
-        elif shape[-1] % axis_size != 0:
-            replicated.append(
-                (name, shape,
-                 f"trailing dim {shape[-1]} not divisible by {axis_size}")
-            )
-        elif shape[-1] < min_size:
-            replicated.append(
-                (name, shape, f"trailing dim {shape[-1]} < min_size={min_size}")
-            )
         else:
-            sharded.append((name, shape))
-            spec = P(*([None] * (len(shape) - 1)), axis)
-            return jax.device_put(leaf, NamedSharding(mesh, spec))
+            eligible = [
+                d for d, s in enumerate(shape)
+                if s % axis_size == 0 and s >= min_size
+            ]
+            if not eligible:
+                replicated.append(
+                    (name, shape,
+                     f"no dim divisible by {axis_size} and >= "
+                     f"min_size={min_size}")
+                )
+            else:
+                # largest dim; trailing wins ties (reversed scan order)
+                dim = max(reversed(eligible), key=lambda d: shape[d])
+                sharded.append((name, shape, dim))
+                spec = P(*(axis if d == dim else None
+                           for d in range(len(shape))))
+                return jax.device_put(leaf, NamedSharding(mesh, spec))
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     out = jax.tree_util.tree_map_with_path(place, tree)
@@ -115,7 +125,7 @@ def shard_params(
         report["sharded"] = sharded
         report["replicated"] = replicated
     if verbose:
-        n_sh = sum(int(np.prod(s)) for _, s in sharded)
+        n_sh = sum(int(np.prod(s)) for _, s, _ in sharded)
         n_rep = sum(int(np.prod(s)) for _, s, _ in replicated)
         print(
             f"shard_params: {len(sharded)} leaves sharded over '{axis}' "

@@ -330,15 +330,17 @@ def test_shard_params_report():
     mesh = make_mesh(4, ("model",), (4,))
     params = {
         "big": jnp.zeros((8, 1024)),
-        "indivisible": jnp.zeros((8, 1023)),
+        "embed": jnp.zeros((1024, 50)),  # only the LEADING dim is eligible
+        "square": jnp.zeros((64, 64)),  # tie -> trailing dim wins
+        "indivisible": jnp.zeros((9, 1023)),
         "small": jnp.zeros((8, 8)),
         "vec": jnp.zeros((1024,)),
     }
     report: dict = {}
     shard_params(params, mesh, min_size=16, report=report)
-    sharded = {name for name, _ in report["sharded"]}
+    sharded = {name: dim for name, _, dim in report["sharded"]}
     replicated = {name: reason for name, _, reason in report["replicated"]}
-    assert sharded == {"['big']"}
-    assert "not divisible" in replicated["['indivisible']"]
+    assert sharded == {"['big']": 1, "['embed']": 0, "['square']": 1}
+    assert "no dim divisible" in replicated["['indivisible']"]
     assert "min_size" in replicated["['small']"]
     assert "fewer than 2 dims" in replicated["['vec']"]
