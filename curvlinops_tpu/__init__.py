@@ -23,6 +23,7 @@ from curvlinops_tpu.estimators.norm import hutchinson_squared_fro
 from curvlinops_tpu.estimators.trace import hutchinson_trace, hutchpp_trace, xtrace
 from curvlinops_tpu.solvers.eigsh import topk_eigenpairs
 from curvlinops_tpu.utils.misc import FrozenModelFn, make_functional_call
+from curvlinops_tpu.utils.prefetch import PrefetchToDevice, prefetch_to_device
 from curvlinops_tpu.solvers.lanczos import (
     LanczosApproximateLogSpectrumCached,
     LanczosApproximateSpectrumCached,
@@ -59,6 +60,8 @@ from curvlinops_tpu.ops.submatrix import SubmatrixLinearOperator
 __version__ = "0.1.0"
 
 __all__ = [
+    "PrefetchToDevice",
+    "prefetch_to_device",
     "LinearOperator",
     "PytreeLinearOperator",
     "SumLinearOperator",

@@ -19,6 +19,7 @@ from curvlinops_tpu.utils.misc import (
     make_functional_call,
     split_list,
 )
+from curvlinops_tpu.utils.prefetch import PrefetchToDevice, prefetch_to_device
 
 __all__ = [
     "spec_of",
@@ -36,4 +37,6 @@ __all__ = [
     "allclose_report",
     "make_functional_call",
     "split_list",
+    "PrefetchToDevice",
+    "prefetch_to_device",
 ]
