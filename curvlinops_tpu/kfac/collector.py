@@ -57,6 +57,7 @@ wrapping parameter uses is refused. Nested ``pjit``, ``custom_jvp/vjp`` and
 from __future__ import annotations
 
 import itertools
+import math
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -194,6 +195,34 @@ def _view_descriptor(prim_name: str, params: dict, in_shape: tuple):
     if prim_name in ("copy", "rev"):
         return (prim_name, tuple(params.get("dimensions", ())), tuple(in_shape))
     return (prim_name, None, tuple(in_shape))
+
+
+def _keeps_trailing_axis(prim_name: str, params: dict, in_shape, out_shape) -> bool:
+    """Whether a shape-transparent op keeps the trailing (feature) axis intact.
+
+    Layer identity (``produced_by_layer``) may only flow through ops that
+    leave the feature axis where a later bias add expects it; a reshape that
+    alters the last dimension breaks the pairing, so the bias must then be
+    flagged instead of silently attached to the wrong layer (the reference
+    refuses these patterns too, ``test/computers/io_collector/
+    test_param_io.py:190-210``).
+    """
+    if prim_name in ("convert_element_type", "copy"):
+        return True
+    if not in_shape or not out_shape:
+        return False
+    if prim_name == "transpose":
+        return tuple(params["permutation"])[-1] == len(in_shape) - 1
+    if prim_name == "rev":
+        return (len(in_shape) - 1) not in tuple(params["dimensions"])
+    if prim_name == "broadcast_in_dim":
+        bd = tuple(params["broadcast_dimensions"])
+        return (
+            bool(bd)
+            and bd[-1] == len(out_shape) - 1
+            and out_shape[-1] == in_shape[-1]
+        )
+    return in_shape[-1] == out_shape[-1]
 
 
 def _views_invertible(views) -> bool:
@@ -476,7 +505,12 @@ class TracedModel:
                     derived[op.out_keys[0]] = _Derived(
                         e.leaf, e.views + (view,), e.scan, e.outer_views
                     )
-                if in_keys[0] in produced_by_layer:
+                if in_keys[0] in produced_by_layer and _keeps_trailing_axis(
+                    prim_name,
+                    op.params,
+                    self._atom_shape(op.in_atoms[0]),
+                    tuple(op.out_keys[0][1].aval.shape),
+                ):
                     produced_by_layer[op.out_keys[0]] = produced_by_layer[in_keys[0]]
                 continue
 
@@ -638,6 +672,29 @@ class TracedModel:
                             "add (bias scan mode mismatches its layer's "
                             "weight: stacked weights need stacked biases and "
                             "vice versa)",
+                        )
+                        continue
+                    # the bias must supply exactly one value per output
+                    # feature (times the stack length for stacked scans) —
+                    # e.g. a (S,)-shaped leaf broadcast over positions is NOT
+                    # a layer bias
+                    if layer.kind == "dense":
+                        d_out = layer.meta["d_out"]
+                    else:  # conv: out-channel count from the kernel spec
+                        dn = layer.meta["dimension_numbers"]
+                        d_out = layer.meta["w_shape"][dn.rhs_spec[0]]
+                    stack_len = (
+                        bscan[1]
+                        if bscan is not None and bscan[0] == "stacked"
+                        else 1
+                    )
+                    leaf_size = math.prod(self._param_shapes[e.leaf])
+                    if leaf_size != stack_len * d_out:
+                        self._flag(
+                            [e.leaf],
+                            f"add (bias with {leaf_size} elements cannot be "
+                            f"the bias of a layer with {d_out} output "
+                            "features)",
                         )
                         continue
                     bias_path = self.param_paths[e.leaf]

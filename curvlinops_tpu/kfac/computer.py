@@ -130,10 +130,18 @@ def build_groups(
                     d_in=d_in, d_out=d_out, stack=stack, input_diag=input_diag,
                 )
             )
-            for bp in sorted(bias_paths):
+            # DictKey path elements are not orderable -> sort by repr. Each
+            # bias block only sees the uses that actually add THAT bias (a
+            # tied weight may pair with distinct biases per use).
+            for bp in sorted(bias_paths, key=str):
+                bias_uses = [
+                    u for u in uses
+                    if u.bias_path is not None and tuple(u.bias_path) == bp
+                ]
                 groups.append(
                     ParamGroup(
-                        name + ".bias", None, bp, uses, joint=False,
+                        "+".join(u.name for u in bias_uses) + ".bias",
+                        None, bp, bias_uses, joint=False,
                         d_in=1, d_out=d_out, stack=stack,
                     )
                 )

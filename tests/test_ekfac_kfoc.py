@@ -280,3 +280,86 @@ def test_kfoc_operator_exposes_power_info():
     assert set(kfoc.power_info) == set(weight_groups)
     for gi in weight_groups:
         assert float(kfoc.power_info[gi]["residual"]) < 1e-5
+
+
+def _shared_seq_case(flatten=True, nonlinear=False, seed=50, reduction="mean"):
+    """Deep net applied per-position over a sequence, output flattened to 2d.
+
+    The reference's EKFAC weight-sharing cases flatten the output because
+    EKFAC only supports 2d outputs (``test/test_ekfac.py:121-188``,
+    'expand-flatten' setting); sharing lives inside the model.
+    """
+    from curvlinops_tpu import MSELoss
+    from tests.cases import _mlp_params
+
+    params = _mlp_params(jax.random.key(seed), [4, 3, 2])
+
+    def model(p, x):  # x: [B, S, 4]
+        for i in range(len(p)):
+            x = x @ p[f"layer{i}"]["W"] + p[f"layer{i}"]["b"]
+            if nonlinear and i < len(p) - 1:
+                x = jnp.tanh(x)
+        return x.reshape(x.shape[0], -1) if flatten else x
+
+    X = jax.random.normal(jax.random.key(seed + 1), (6, 5, 4))
+    y = jax.random.normal(jax.random.key(seed + 2), (6, 10))
+    return dict(model_fn=model, loss_fn=MSELoss(reduction), params=params,
+                data=[(X, y)])
+
+
+@pytest.mark.parametrize("separate", [True, False], ids=["separate", "joint"])
+@pytest.mark.parametrize("reduction", ["mean", "sum"])
+def test_ekfac_expand_flatten_weight_sharing_exact(reduction, separate):
+    """Deep linear sharing + flattened output: EKFAC == block-diag GGN
+    (reference ``test_ekfac.py:121`` 'expand-flatten')."""
+    case = _shared_seq_case(reduction=reduction)
+    ekfac = EKFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        fisher_type=FisherType.TYPE2, check_deterministic=False,
+        separate_weight_and_bias=separate,
+    )
+    dense = dense_ggn(case["model_fn"], case["loss_fn"], case["params"],
+                      case["data"])
+    expected = blockdiag_projection(dense, case["params"], ekfac.groups)
+    report_nonclose(ekfac.todense(), expected, rtol=1e-3, atol=1e-5,
+                    name="ekfac sharing")
+
+
+def test_ekfac_closer_than_kfac_weight_sharing():
+    """EKFAC at least as close as KFAC under weight sharing
+    (reference ``test_ekfac.py:681``)."""
+    case = _shared_seq_case(nonlinear=True)
+    kw = dict(fisher_type=FisherType.TYPE2, check_deterministic=False)
+    kfac = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"], **kw
+    )
+    ekfac = EKFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"], **kw
+    )
+    dense = dense_ggn(case["model_fn"], case["loss_fn"], case["params"],
+                      case["data"])
+    target = blockdiag_projection(dense, case["params"], kfac.groups)
+    err_kfac = np.linalg.norm(np.asarray(kfac.todense()) - target)
+    err_ekfac = np.linalg.norm(np.asarray(ekfac.todense()) - target)
+    assert err_ekfac <= err_kfac * (1 + 1e-5), (err_ekfac, err_kfac)
+
+
+def test_ekfac_properties_match_dense():
+    """trace/det/logdet/frobenius of EKFAC against its dense matrix
+    (reference ``test_ekfac.py:586-643``)."""
+    case = _shared_seq_case(nonlinear=True)
+    ekfac = EKFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        fisher_type=FisherType.TYPE2, check_deterministic=False,
+    )
+    dense = np.asarray(ekfac.todense(), dtype=np.float64)
+    report_nonclose(ekfac.trace(), np.trace(dense), rtol=1e-4, name="trace")
+    report_nonclose(
+        ekfac.frobenius_norm(), np.linalg.norm(dense), rtol=1e-4, name="fro"
+    )
+    sign, logdet = np.linalg.slogdet(dense)
+    if sign > 0 and np.isfinite(logdet):
+        report_nonclose(ekfac.logdet(), logdet, rtol=1e-3, atol=1e-4,
+                        name="logdet")
+    report_nonclose(ekfac.det(), sign * np.exp(logdet), rtol=1e-3, atol=1e-6,
+                    name="det")

@@ -113,3 +113,59 @@ def test_neumann_zero_terms_is_identity_scale():
     v = np.arange(4.0, dtype=np.float32)
     out = cl.NeumannInverseLinearOperator(A, num_terms=0, scale=0.25) @ v
     assert np.allclose(out, 0.25 * v)
+
+
+def test_kfac_ekfac_exact_preconditioners_for_cg_and_neumann():
+    """KFAC/EKFAC inverses as EXACT preconditioners on linear regression.
+
+    For a single linear layer + MSE the GGN equals the Hessian and KFAC/EKFAC
+    are exact, so their damped inverses solve the damped-GGN system outright:
+    CG converges immediately and a 0-term preconditioned Neumann series is
+    already exact (reference ``test/test_inverse.py:97-166``).
+    """
+    from curvlinops_tpu import FisherType, MSELoss
+    from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
+    from curvlinops_tpu.kfac.operator import KFACLinearOperator
+
+    key = jax.random.key(1234)
+    kw_, kx, ky = jax.random.split(key, 3)
+    params = {"lin": {"W": jax.random.normal(kw_, (3, 2)) / jnp.sqrt(3.0)}}
+
+    def model_fn(p, x):
+        return x @ p["lin"]["W"]
+
+    loss_fn = MSELoss("mean")
+    data = [(jax.random.normal(kx, (6, 3)), jax.random.normal(ky, (6, 2)))]
+    delta = 1e-2
+
+    dense = dense_ggn(model_fn, loss_fn, params, data)
+    inv_naive = np.linalg.inv(dense + delta * np.eye(len(dense)))
+
+    ggn = GGNLinearOperator(model_fn, loss_fn, params, data)
+    damped = ggn + delta * IdentityLinearOperator(ggn.in_spec)
+
+    kfac = KFACLinearOperator(
+        model_fn, loss_fn, params, data, fisher_type=FisherType.TYPE2,
+        check_deterministic=False,
+    )
+    ekfac = EKFACLinearOperator(
+        model_fn, loss_fn, params, data, fisher_type=FisherType.TYPE2,
+        check_deterministic=False,
+    )
+    inv_kfac = kfac.inverse(damping=delta, use_exact_damping=True)
+    inv_ekfac = ekfac.inverse(damping=delta)
+
+    # the preconditioners themselves are exact inverses here
+    for name, pre in [("kfac", inv_kfac), ("ekfac", inv_ekfac)]:
+        report_nonclose(pre.todense(), inv_naive, rtol=5e-4, atol=1e-5,
+                        name=f"{name} inverse")
+
+    for name, pre in [("kfac", inv_kfac), ("ekfac", inv_ekfac)]:
+        cg = CGInverseLinearOperator(damped, tol=1e-8, preconditioner=pre)
+        report_nonclose(cg.todense(), inv_naive, rtol=1e-4, atol=1e-5,
+                        name=f"cg+{name}")
+        neumann = NeumannInverseLinearOperator(
+            damped, num_terms=0, preconditioner=pre
+        )
+        report_nonclose(neumann.todense(), inv_naive, rtol=1e-4, atol=1e-5,
+                        name=f"neumann+{name}")
