@@ -421,6 +421,8 @@ class TracedModel:
         # would need cross-context factor normalization — refuse
         by_path: dict[tuple, set] = {}
         for u in self.layers:
+            if u.weight_path is None:  # bias-only: refused inside conds
+                continue
             by_path.setdefault(tuple(u.weight_path), set()).add(
                 (u.cond_op, u.cond_branch)
             )
@@ -437,9 +439,11 @@ class TracedModel:
                 )
 
         # completeness verification (collector.py:180-277 analogue)
-        used_leaves = {tuple(u.weight_path) for u in self.layers} | {
-            tuple(u.bias_path) for u in self.layers if u.bias_path is not None
-        }
+        used_leaves = {
+            tuple(u.weight_path)
+            for u in self.layers
+            if u.weight_path is not None
+        } | {tuple(u.bias_path) for u in self.layers if u.bias_path is not None}
         problems = []
         for i, path in enumerate(self.param_paths):
             msgs = self._unmatched.get(i, [])
@@ -705,6 +709,66 @@ class TracedModel:
                         )
                     layer.bias_path = bias_path
                     # bias-add output still carries the layer identity
+                    produced_by_layer[op.out_keys[0]] = lid
+                    continue
+                if (
+                    len(bias_slots) == 1
+                    and other_slots
+                    and entries[other_slots[0]] is None
+                ):
+                    # bias-only block: a param bias added to a value whose
+                    # layer weight is closed over (the reference's
+                    # ``exclude='weight'`` configuration — KFAC's bias block
+                    # needs only the output gradients, so the weight's
+                    # provenance is irrelevant)
+                    e = entries[bias_slots[0]]
+                    out_shape = tuple(op.out_keys[0][1].aval.shape)
+                    leaf_size = math.prod(self._param_shapes[e.leaf])
+                    if (
+                        in_scan is not None
+                        or in_cond is not None
+                        or e.scan is not None
+                    ):
+                        self._flag(
+                            [e.leaf],
+                            "add (bias-only block inside scan/cond is not "
+                            "supported; include the layer's weight in params "
+                            "or move the bias out)",
+                        )
+                        continue
+                    if len(out_shape) < 2 or leaf_size != out_shape[-1]:
+                        self._flag(
+                            [e.leaf],
+                            f"add (bias with {leaf_size} elements cannot be "
+                            f"the bias of an output with "
+                            f"{out_shape[-1] if out_shape else 0} trailing "
+                            "features)",
+                        )
+                        continue
+                    if any(v[0] in ("transpose", "rev") for v in e.views):
+                        self._flag(
+                            [e.leaf], "add (bias view chain reorders elements)"
+                        )
+                        continue
+                    lid = len(self.layers)
+                    n = self._kind_counter.setdefault("bias", 0)
+                    self._kind_counter["bias"] = n + 1
+                    self.layers.append(
+                        LayerUse(
+                            layer_id=lid,
+                            name=f"Bias{n}",
+                            kind="dense",
+                            weight_path=None,
+                            op_index=op_index,
+                            input_slot=other_slots[0],
+                            meta={
+                                "d_in": 0,
+                                "d_out": out_shape[-1],
+                                "bias_only": True,
+                            },
+                            bias_path=self.param_paths[e.leaf],
+                        )
+                    )
                     produced_by_layer[op.out_keys[0]] = lid
                     continue
                 self._flag(leaf_ids, prim_name)

@@ -77,7 +77,17 @@ def build_groups(
     """
     by_weight: dict[tuple, list[LayerUse]] = {}
     order: list[tuple] = []
+    bias_only: dict[tuple, list[LayerUse]] = {}
+    bias_order: list[tuple] = []
     for use in layers:
+        if use.weight_path is None:
+            # bias-only block (weight closed over, reference exclude='weight'):
+            # grouped by the bias leaf so tied biases merge
+            bkey = tuple(use.bias_path)
+            if bkey not in bias_only:
+                bias_order.append(bkey)
+            bias_only.setdefault(bkey, []).append(use)
+            continue
         key = tuple(use.weight_path)
         if key not in by_weight:
             order.append(key)
@@ -160,6 +170,22 @@ def build_groups(
                     input_diag=input_diag,
                 )
             )
+
+    for bkey in bias_order:
+        uses = bias_only[bkey]
+        d_outs = {u.meta["d_out"] for u in uses}
+        if len(d_outs) > 1:
+            raise ValueError(
+                f"Bias {bkey} is tied across outputs with different feature "
+                f"counts {sorted(d_outs)}; KFAC cannot merge their blocks."
+            )
+        groups.append(
+            ParamGroup(
+                "+".join(u.name for u in uses) + ".bias",
+                None, bkey, uses, joint=False,
+                d_in=1, d_out=d_outs.pop(), stack=0,
+            )
+        )
     return groups
 
 
