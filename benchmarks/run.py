@@ -92,6 +92,30 @@ def bench_matvec_operator(make_kernel, prob) -> float:
     return ms
 
 
+def bench_held_matvec(prob, op_cls, **op_kwargs) -> float:
+    """Device-time (ms) of one matvec with the model linearization HELD on
+    device (``op.linearized()``): the primal forward (and, for the Hessian,
+    the primal backward) is paid once at build, not per product."""
+    op = op_cls(
+        prob.model_fn,
+        prob.loss_fn,
+        prob.params,
+        prob.data[:1],
+        check_deterministic=False,
+        **op_kwargs,
+    )
+    held = op.linearized()
+    apply_jit, state, c = held._held[0]
+    M = jax.tree.map(lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), prob.params)
+    ms, _ = _timed_chain(
+        lambda m, state: apply_jit(state, m, jnp.asarray(c, held.dtype)),
+        M,
+        state,
+        jit=False,  # apply_jit is already the cached jitted program
+    )
+    return ms
+
+
 def bench_gradient(prob) -> float:
     X, y = prob.data[0]
 
@@ -254,6 +278,18 @@ def run_benchmarks(prob, ops, results: dict) -> None:
         results["Empirical Fisher matvec (ms)"] = round(
             bench_matvec_operator(make_batch_ef_matmat, prob), 3
         )
+    if "held_ggn" in ops:
+        from curvlinops_tpu.curvature.ggn import GGNLinearOperator
+
+        results["GGN matvec, held linearization (ms)"] = round(
+            bench_held_matvec(prob, GGNLinearOperator), 3
+        )
+    if "held_hessian" in ops:
+        from curvlinops_tpu.curvature.hessian import HessianLinearOperator
+
+        results["Hessian matvec, held linearization (ms)"] = round(
+            bench_held_matvec(prob, HessianLinearOperator), 3
+        )
     if "kfac" in ops:
         bench_kfac(prob, results, kfac_approx=results.get("kfac_approx", "expand"))
     if "ekfac" in ops:
@@ -271,6 +307,8 @@ def main() -> None:
     parser.add_argument(
         "--ops",
         default="gradient,hessian,ggn,ggn_mc,ef,kfac,ekfac",
+        # extra (off by default): held_ggn, held_hessian — matvecs with the
+        # model linearization held on device (op.linearized())
         help="comma-separated subset",
     )
     parser.add_argument("--batch-size", type=int, default=None)

@@ -10,6 +10,7 @@ spectral densities — all pure jitted functions that scale over device meshes.
 
 from curvlinops_tpu.curvature.ef import EFLinearOperator
 from curvlinops_tpu.curvature.ggn import GGNLinearOperator
+from curvlinops_tpu.curvature.held import HeldLinearizationOperator
 from curvlinops_tpu.curvature.ggn_diagonal import GGNDiagonalLinearOperator
 from curvlinops_tpu.curvature.hessian import HessianLinearOperator
 from curvlinops_tpu.curvature.jacobian import (
@@ -80,6 +81,7 @@ __all__ = [
     "NeumannInverseLinearOperator",
     "HessianLinearOperator",
     "GGNLinearOperator",
+    "HeldLinearizationOperator",
     "EFLinearOperator",
     "GGNDiagonalLinearOperator",
     "JacobianLinearOperator",

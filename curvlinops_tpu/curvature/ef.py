@@ -51,10 +51,8 @@ def flatten_target(loss_fn, y: jax.Array) -> jax.Array:
     return y.reshape(-1, y.shape[-1])
 
 
-def make_batch_ef_matmat(
-    model_fn: Callable, loss_fn, max_vmap_columns: int | None = None
-) -> Callable:
-    """Build the pure per-batch empirical-Fisher matmat kernel."""
+def make_row_grad(loss_fn) -> Callable:
+    """Vmapped per-row loss gradient ``[L, C] x [L, ...] -> [L, C]``."""
     if not isinstance(loss_fn, SUPPORTED_LOSSES):
         raise NotImplementedError(
             f"Loss must be one of {[c.__name__ for c in SUPPORTED_LOSSES]}, "
@@ -70,7 +68,14 @@ def make_batch_ef_matmat(
         x = f_row
         return jnp.sum(jnp.maximum(x, 0) - x * y_row + jnp.log1p(jnp.exp(-jnp.abs(x))))
 
-    row_grad = jax.vmap(jax.grad(row_loss))
+    return jax.vmap(jax.grad(row_loss))
+
+
+def make_batch_ef_matmat(
+    model_fn: Callable, loss_fn, max_vmap_columns: int | None = None
+) -> Callable:
+    """Build the pure per-batch empirical-Fisher matmat kernel."""
+    row_grad = make_row_grad(loss_fn)
 
     def batch_matmat(params: Any, X: Any, y: Any, M: Any, c, key) -> Any:
         del key

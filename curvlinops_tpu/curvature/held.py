@@ -1,0 +1,287 @@
+"""Held-linearization curvature operators (primal residuals cached on device).
+
+The reference recomputes the model's forward (and for the Hessian, the
+backward) pass inside EVERY matrix-vector product (``ggn.py:41-74``,
+``hessian.py:100-118``) — unavoidable there, since torch autograd ties the
+linearization point to a fresh graph. Under JAX the linearization of the
+model at fixed ``(params, X)`` is a *value*: :func:`jax.linearize` yields
+residual arrays that fully determine the JVP, and
+:func:`jax.closure_convert` hoists them out of the closure. Holding those
+residuals on device turns every subsequent matvec into the pure tangent
+computation — no primal forward, no primal gradient — which is the right
+trade on TPU for iterative workloads (CG/LSMR solves, Lanczos/LOBPCG
+spectra, trace/diagonal estimation: dozens to thousands of matvecs against
+one fixed dataset).
+
+``op.linearized()`` returns a :class:`HeldLinearizationOperator` computing
+the SAME matrix (exact same floating-point kernel structure, same MC
+samples) with two jitted stages per batch:
+
+1. ``build``: runs once, returns the state pytree (linearization residuals,
+   prediction, sampled/empirical grad-output rows) as device arrays;
+2. ``apply``: per matmat, reconstructs the JVP from the held residuals via
+   the trace-time-captured jaxpr and transposes it for the VJP.
+
+Memory cost: the residuals are the model's intermediate activations (per
+batch) — the usual activation-memory footprint of one forward (one
+forward+backward for the Hessian). Opt-in for that reason.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from curvlinops_tpu.ops.base import LinearOperator
+from curvlinops_tpu.utils.flatten import tree_scale, vmap_columns
+from curvlinops_tpu.utils.misc import unwrap_model_fn
+
+
+def _struct_of(tree: Any) -> Any:
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), tree
+    )
+
+
+def _split_linearize(f: Callable, params: Any, p_struct: Any, holder: dict):
+    """Linearize ``f`` at ``params``; hoist the residuals out of the closure.
+
+    Returns ``(primal, consts)``; the pure jaxpr-backed JVP (call as
+    ``holder['lin'](v, *consts)``) is captured into ``holder`` at trace time.
+    """
+    primal, jvp_fn = jax.linearize(f, params)
+    converted, consts = jax.closure_convert(jvp_fn, p_struct)
+    holder["lin"] = converted
+    return primal, tuple(consts)
+
+
+def _ggn_kernels(op, raw: Callable, holder: dict):
+    """Exact-GGN build/apply pair (held analogue of ``ggn.py:57-84``)."""
+    loss_fn = op._loss_fn
+    p_struct = _struct_of(op._params)
+    maxcols = op._max_vmap_columns
+
+    def build(frozen, params, X, y, key):
+        pred, consts = _split_linearize(
+            lambda p: raw(frozen, p, X), params, p_struct, holder
+        )
+        return {"pred": jax.lax.stop_gradient(pred), "consts": consts, "y": y}
+
+    def make_apply():
+        lin = holder["lin"]
+
+        def apply(state, M, c):
+            c = c.astype(jax.tree.leaves(M)[0].dtype)
+            consts, pred, y = state["consts"], state["pred"], state["y"]
+            jvp = lambda v: lin(v, *consts)  # noqa: E731
+            vjp = jax.linear_transpose(jvp, p_struct)
+            loss_grad = jax.grad(lambda q: loss_fn(q, y))
+
+            def ggnvp(v):
+                jv = jvp(v)
+                _, hjv = jax.jvp(loss_grad, (pred,), (jv,))
+                return vjp(hjv)[0]
+
+            return tree_scale(c, vmap_columns(ggnvp, M, maxcols))
+
+        return apply
+
+    return build, make_apply
+
+
+def _ggn_mc_kernels(op, raw: Callable, holder: dict):
+    """MC-Fisher build/apply pair (held analogue of ``ggn.py:87-130``).
+
+    The sampled grad-output rows are computed ONCE at hold time with the
+    same per-batch keys the base operator folds, so the held operator uses
+    the exact same samples."""
+    from curvlinops_tpu.curvature.loss_hessian import (
+        FisherType,
+        make_grad_output_fn,
+    )
+
+    loss_fn = op._loss_fn
+    p_struct = _struct_of(op._params)
+    maxcols = op._max_vmap_columns
+    grad_output_fn = make_grad_output_fn(loss_fn, FisherType.MC, op._mc_samples)
+
+    def build(frozen, params, X, y, key):
+        pred, consts = _split_linearize(
+            lambda p: raw(frozen, p, X), params, p_struct, holder
+        )
+        batch_size = jax.tree.leaves(pred)[0].shape[0]
+        keys = jax.random.split(key, batch_size)
+        G = jax.vmap(grad_output_fn)(jax.lax.stop_gradient(pred), y, keys)
+        return {"consts": consts, "G": G}
+
+    def make_apply():
+        lin = holder["lin"]
+        c_batch_div = loss_fn.reduction == "mean"
+
+        def apply(state, M, c):
+            c = c.astype(jax.tree.leaves(M)[0].dtype)
+            consts, G = state["consts"], state["G"]
+            c_batch = float(G.shape[0]) if c_batch_div else 1.0
+            jvp = lambda v: lin(v, *consts)  # noqa: E731
+            vjp = jax.linear_transpose(jvp, p_struct)
+
+            def fishervp(v):
+                jv = jvp(v)
+                coeff = jnp.einsum("nk...,n...->nk", G, jv.astype(G.dtype))
+                tangent = jnp.einsum("nk...,nk->n...", G, coeff) / c_batch
+                return vjp(tangent.astype(jnp.result_type(jv)))[0]
+
+            return tree_scale(c, vmap_columns(fishervp, M, maxcols))
+
+        return apply
+
+    return build, make_apply
+
+
+def _ef_kernels(op, raw: Callable, holder: dict):
+    """Empirical-Fisher build/apply pair (held analogue of ``ef.py:54-102``)."""
+    from curvlinops_tpu.curvature.ef import (
+        flatten_prediction,
+        flatten_target,
+        make_row_grad,
+    )
+
+    loss_fn = op._loss_fn
+    p_struct = _struct_of(op._params)
+    maxcols = op._max_vmap_columns
+    row_grad = make_row_grad(loss_fn)
+
+    def build(frozen, params, X, y, key):
+        pred_flat, consts = _split_linearize(
+            lambda p: flatten_prediction(loss_fn, raw(frozen, p, X)),
+            params,
+            p_struct,
+            holder,
+        )
+        G = row_grad(jax.lax.stop_gradient(pred_flat), flatten_target(loss_fn, y))
+        return {"consts": consts, "G": G}
+
+    def make_apply():
+        from curvlinops_tpu.losses import CrossEntropyLoss
+
+        lin = holder["lin"]
+        mean = loss_fn.reduction == "mean"
+        ce = isinstance(loss_fn, CrossEntropyLoss)
+
+        def apply(state, M, c):
+            c = c.astype(jax.tree.leaves(M)[0].dtype)
+            consts, G = state["consts"], state["G"]
+            L, C = G.shape
+            R = (float(L) if ce else float(L * C)) if mean else 1.0
+            jvp = lambda v: lin(v, *consts)  # noqa: E731
+            vjp = jax.linear_transpose(jvp, p_struct)
+
+            def efvp(v):
+                jv = jvp(v)
+                coeff = jnp.einsum("lc,lc->l", G, jv)
+                return vjp((coeff[:, None] * G) / R)[0]
+
+            return tree_scale(c, vmap_columns(efvp, M, maxcols))
+
+        return apply
+
+    return build, make_apply
+
+
+def _hessian_kernels(op, raw: Callable, holder: dict):
+    """Hessian build/apply pair (held analogue of ``hessian.py:41-66``).
+
+    Holds the linearization of the GRADIENT: one forward+backward at hold
+    time, pure second-order tangent per matvec."""
+    loss_fn = op._loss_fn
+    p_struct = _struct_of(op._params)
+    maxcols = op._max_vmap_columns
+
+    def build(frozen, params, X, y, key):
+        grad_fn = jax.grad(lambda p: loss_fn(raw(frozen, p, X), y))
+        _, consts = _split_linearize(grad_fn, params, p_struct, holder)
+        return {"consts": consts}
+
+    def make_apply():
+        lin = holder["lin"]
+
+        def apply(state, M, c):
+            c = c.astype(jax.tree.leaves(M)[0].dtype)
+            consts = state["consts"]
+            hvp = lambda v: lin(v, *consts)  # noqa: E731
+            return tree_scale(c, vmap_columns(hvp, M, maxcols))
+
+        return apply
+
+    return build, make_apply
+
+
+def _kernels_for(op) -> tuple[Any, Callable, Callable, dict]:
+    from curvlinops_tpu.curvature.ef import EFLinearOperator
+    from curvlinops_tpu.curvature.ggn import GGNLinearOperator
+    from curvlinops_tpu.curvature.hessian import HessianLinearOperator
+
+    holder: dict = {}
+    frozen, raw = unwrap_model_fn(op._model_fn)
+    if isinstance(op, HessianLinearOperator):
+        build, make_apply = _hessian_kernels(op, raw, holder)
+    elif isinstance(op, GGNLinearOperator):
+        if op._mc_samples > 0:
+            build, make_apply = _ggn_mc_kernels(op, raw, holder)
+        else:
+            build, make_apply = _ggn_kernels(op, raw, holder)
+    elif isinstance(op, EFLinearOperator):
+        build, make_apply = _ef_kernels(op, raw, holder)
+    else:
+        raise NotImplementedError(
+            f"linearized() supports Hessian/GGN/MC-Fisher/EF operators, not "
+            f"{type(op).__name__} (KFAC-family operators already precompute "
+            "their factors; their matvecs never touch the model)."
+        )
+    return frozen, build, make_apply, holder
+
+
+class HeldLinearizationOperator(LinearOperator):
+    """The same curvature matrix as ``base``, with per-batch model
+    linearizations held on device (see module docstring).
+
+    Built via ``base.linearized()``; do not construct directly.
+    """
+
+    def __init__(self, base) -> None:
+        super().__init__(base.in_spec, base.out_spec)
+        self.SELF_ADJOINT = base.SELF_ADJOINT
+        self._base = base
+        frozen, build, make_apply, holder = _kernels_for(base)
+        build_jit = jax.jit(build)
+        base_key = jax.random.key(base._seed)
+        params = base._replicate(base._params)
+        self._held: list[tuple[Callable, Any, float]] = []
+        apply_by_shape: dict = {}
+        for idx, (X, y) in enumerate(base._loop_over_data(desc="hold")):
+            c = base._get_normalization_factor(X, y)
+            key = jax.random.fold_in(base_key, idx)
+            state = build_jit(frozen, params, X, y, key)
+            # one apply program per batch shape: the captured jaxpr is
+            # refreshed by build_jit's retrace for a new shape
+            shape_key = tuple(
+                (tuple(jnp.shape(leaf)), str(jnp.result_type(leaf)))
+                for leaf in jax.tree.leaves(X)
+            )
+            if shape_key not in apply_by_shape:
+                apply_by_shape[shape_key] = jax.jit(make_apply())
+            self._held.append((apply_by_shape[shape_key], state, c))
+        if not self._held:
+            raise ValueError("Empty dataset: nothing to hold.")
+
+    def _matmat(self, M: Any) -> Any:
+        from curvlinops_tpu.risk import _tree_add
+
+        M = self._base._replicate(M)
+        AM = None
+        for apply_jit, state, c in self._held:
+            out = apply_jit(state, M, jnp.asarray(c, self.dtype))
+            AM = out if AM is None else _tree_add(AM, out)
+        return AM

@@ -487,12 +487,30 @@ class TracedModel:
     ) -> dict:
         """Run the matching pass over one IR; returns the final derived map."""
         produced_by_layer: dict[Any, int] = {}  # var key -> layer_id
+        # values downstream of ANY matched layer output (through arbitrary
+        # ops); a bias added to such a value must not become a bias-only
+        # block — it may be a disguised (reshaped/activated) pairing with an
+        # in-params layer, which we refuse rather than approximate
+        descended: set = set()
 
         for op_index, op in enumerate(ir.ops):
             in_keys = [a[1] if a[0] == "var" else None for a in op.in_atoms]
             entries = [derived.get(k) for k in in_keys]
             leaf_ids = [e.leaf if e is not None else None for e in entries]
             prim_name = op.prim.name if op.prim is not None else "alias"
+            if any(
+                k is not None
+                and (
+                    (
+                        k in produced_by_layer
+                        and self.layers[produced_by_layer[k]].weight_path
+                        is not None
+                    )
+                    or k in descended
+                )
+                for k in in_keys
+            ):
+                descended.update(op.out_keys)
 
             if op.prim is None:  # alias
                 if entries[0] is not None:
@@ -722,6 +740,18 @@ class TracedModel:
                     # needs only the output gradients, so the weight's
                     # provenance is irrelevant)
                     e = entries[bias_slots[0]]
+                    if in_keys[other_slots[0]] in descended:
+                        # the operand descends from an in-params layer: this
+                        # may be that layer's bias in disguise (reshaped /
+                        # post-activation); refuse instead of treating the
+                        # broadcast dims as weight sharing
+                        self._flag(
+                            [e.leaf],
+                            "add (bias added to a transformed output of a "
+                            "matched layer; a layer bias must be added "
+                            "directly to the layer output)",
+                        )
+                        continue
                     out_shape = tuple(op.out_keys[0][1].aval.shape)
                     leaf_size = math.prod(self._param_shapes[e.leaf])
                     if (

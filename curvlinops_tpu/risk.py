@@ -221,6 +221,20 @@ class EmpiricalRiskOperator(LinearOperator):
             self._loss_fn.reduction
         ]
 
+    def linearized(self) -> "LinearOperator":
+        """Hold the per-batch model linearizations on device.
+
+        Returns an operator computing the SAME matrix whose matvecs skip the
+        primal forward (and, for the Hessian, the primal backward) pass —
+        the residuals are cached as device arrays at construction. The right
+        trade for iterative workloads (solves, spectra, estimation) against
+        fixed data, at the memory cost of one batch's activations. See
+        :class:`curvlinops_tpu.curvature.held.HeldLinearizationOperator`.
+        """
+        from curvlinops_tpu.curvature.held import HeldLinearizationOperator
+
+        return HeldLinearizationOperator(self)
+
     # ------------------------------------------------------------------ #
     # The hot path: accumulated per-batch matmat
     # ------------------------------------------------------------------ #

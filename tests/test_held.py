@@ -1,0 +1,108 @@
+"""Held-linearization operators equal their base operators exactly.
+
+``op.linearized()`` caches per-batch model linearization residuals on device
+(``curvature/held.py``); the matrix must be IDENTICAL (same kernel structure,
+same MC samples) to the base operator's.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curvlinops_tpu import (
+    EFLinearOperator,
+    GGNLinearOperator,
+    HessianLinearOperator,
+    KFACLinearOperator,
+    MSELoss,
+)
+from curvlinops_tpu.losses import CrossEntropyLoss
+
+from tests.utils import report_nonclose
+
+
+def _mlp_case(seed=0, ce=False):
+    k = jax.random.key(seed)
+    params = {
+        "l1": {"W": 0.4 * jax.random.normal(jax.random.fold_in(k, 1), (6, 8)),
+               "b": jnp.zeros(8)},
+        "l2": {"W": 0.4 * jax.random.normal(jax.random.fold_in(k, 2), (8, 4)),
+               "b": jnp.zeros(4)},
+    }
+
+    def model(p, x):
+        h = jnp.tanh(x @ p["l1"]["W"] + p["l1"]["b"])
+        return h @ p["l2"]["W"] + p["l2"]["b"]
+
+    def batch(i, n):
+        kx, ky = jax.random.split(jax.random.fold_in(k, 100 + i))
+        X = jax.random.normal(kx, (n, 6))
+        y = (jax.random.randint(ky, (n,), 0, 4) if ce
+             else jax.random.normal(ky, (n, 4)))
+        return X, y
+
+    return model, params, [batch(0, 5), batch(1, 3)]
+
+
+@pytest.mark.parametrize("reduction", ["mean", "sum"])
+@pytest.mark.parametrize(
+    "op_cls", [HessianLinearOperator, GGNLinearOperator, EFLinearOperator]
+)
+def test_held_equals_base(op_cls, reduction):
+    model, params, data = _mlp_case()
+    op = op_cls(model, MSELoss(reduction), params, data,
+                check_deterministic=False)
+    held = op.linearized()
+    report_nonclose(held.todense(), op.todense(), rtol=1e-6, atol=1e-7,
+                    name=f"held {op_cls.__name__}")
+
+
+def test_held_mc_fisher_same_samples():
+    """Same folded keys -> the held MC Fisher reuses the base's samples
+    (tight tolerance: only XLA op-ordering may differ, never the samples)."""
+    model, params, data = _mlp_case(seed=1)
+    op = GGNLinearOperator(model, MSELoss("mean"), params, data,
+                           mc_samples=3, seed=7, check_deterministic=False)
+    held = op.linearized()
+    report_nonclose(held.todense(), op.todense(), rtol=1e-5, atol=1e-7,
+                    name="held MC Fisher")
+
+
+def test_held_cross_entropy_and_algebra():
+    model, params, data = _mlp_case(seed=2, ce=True)
+    op = GGNLinearOperator(model, CrossEntropyLoss("mean"), params, data,
+                           check_deterministic=False)
+    held = op.linearized()
+    report_nonclose(held.todense(), op.todense(), rtol=1e-6, atol=1e-7,
+                    name="held CE GGN")
+    # held operators compose with the operator algebra + flat/np edges
+    v = np.random.default_rng(0).normal(size=held.shape[1]).astype(np.float32)
+    combo = 2.0 * held + op
+    report_nonclose(combo @ v, 3.0 * (op @ v), rtol=1e-5, atol=1e-6,
+                    name="held algebra")
+
+
+def test_held_kfac_refused():
+    model, params, data = _mlp_case(seed=3)
+    kfac = KFACLinearOperator(model, MSELoss("mean"), params, data,
+                              check_deterministic=False)
+    with pytest.raises((NotImplementedError, AttributeError)):
+        kfac.linearized()
+
+
+def test_held_mesh_matches_single_device():
+    from curvlinops_tpu.parallel.mesh import make_mesh
+
+    model, params, data = _mlp_case(seed=4)
+    # uniform batch sizes so each shards over 8 devices
+    data = [(jnp.concatenate([data[0][0], data[1][0]])[:8],
+             jnp.concatenate([data[0][1], data[1][1]])[:8])]
+    mesh = make_mesh(8)
+    op = GGNLinearOperator(model, MSELoss("mean"), params, data,
+                           check_deterministic=False)
+    held_mesh = GGNLinearOperator(model, MSELoss("mean"), params, data,
+                                  check_deterministic=False,
+                                  mesh=mesh).linearized()
+    report_nonclose(held_mesh.todense(), op.todense(), rtol=1e-5, atol=1e-6,
+                    name="held mesh GGN")
