@@ -50,11 +50,34 @@ def _split_linearize(f: Callable, params: Any, p_struct: Any, holder: dict):
 
     Returns ``(primal, consts)``; the pure jaxpr-backed JVP (call as
     ``holder['lin'](v, *consts)``) is captured into ``holder`` at trace time.
+
+    The hoisting is the same ``make_jaxpr``-based mechanism as
+    :meth:`curvlinops_tpu.ops.base.LinearOperator.traced` — NOT
+    ``jax.closure_convert``, which only hoists inexact-dtype residuals and
+    leaks e.g. ReLU's boolean masks as outer-trace tracers.
     """
     primal, jvp_fn = jax.linearize(f, params)
-    converted, consts = jax.closure_convert(jvp_fn, p_struct)
-    holder["lin"] = converted
-    return primal, tuple(consts)
+
+    flat_ex, in_tree = jax.tree.flatten(p_struct)
+    out_tree_store = []
+
+    def flat_fn(*flat_v):
+        out = jvp_fn(jax.tree.unflatten(in_tree, flat_v))
+        flat_out, out_tree = jax.tree.flatten(out)
+        out_tree_store.append(out_tree)
+        return flat_out
+
+    closed = jax.make_jaxpr(flat_fn)(*flat_ex)
+    jaxpr, consts = closed.jaxpr, tuple(closed.consts)
+    out_tree = out_tree_store[0]
+    from jax.core import eval_jaxpr
+
+    def lin(v, *consts, _jaxpr=jaxpr, _in=in_tree, _out=out_tree):
+        flat_v, _ = jax.tree.flatten(v)
+        return jax.tree.unflatten(_out, eval_jaxpr(_jaxpr, consts, *flat_v))
+
+    holder["lin"] = lin
+    return primal, consts
 
 
 def _ggn_kernels(op, raw: Callable, holder: dict):

@@ -22,7 +22,7 @@ from curvlinops_tpu.losses import CrossEntropyLoss
 from tests.utils import report_nonclose
 
 
-def _mlp_case(seed=0, ce=False):
+def _mlp_case(seed=0, ce=False, relu=False):
     k = jax.random.key(seed)
     params = {
         "l1": {"W": 0.4 * jax.random.normal(jax.random.fold_in(k, 1), (6, 8)),
@@ -30,9 +30,10 @@ def _mlp_case(seed=0, ce=False):
         "l2": {"W": 0.4 * jax.random.normal(jax.random.fold_in(k, 2), (8, 4)),
                "b": jnp.zeros(4)},
     }
+    act = jax.nn.relu if relu else jnp.tanh
 
     def model(p, x):
-        h = jnp.tanh(x @ p["l1"]["W"] + p["l1"]["b"])
+        h = act(x @ p["l1"]["W"] + p["l1"]["b"])
         return h @ p["l2"]["W"] + p["l2"]["b"]
 
     def batch(i, n):
@@ -56,6 +57,22 @@ def test_held_equals_base(op_cls, reduction):
     held = op.linearized()
     report_nonclose(held.todense(), op.todense(), rtol=1e-6, atol=1e-7,
                     name=f"held {op_cls.__name__}")
+
+
+@pytest.mark.parametrize(
+    "op_cls", [HessianLinearOperator, GGNLinearOperator, EFLinearOperator]
+)
+def test_held_relu_boolean_residuals(op_cls):
+    """ReLU linearizations carry BOOLEAN mask residuals; the make_jaxpr
+    hoisting in ``held._split_linearize`` must hoist those too (the former
+    ``jax.closure_convert`` path hoisted only inexact dtypes and leaked the
+    masks as escaped tracers under jit)."""
+    model, params, data = _mlp_case(seed=5, relu=True)
+    op = op_cls(model, MSELoss("mean"), params, data,
+                check_deterministic=False)
+    held = op.linearized()
+    report_nonclose(held.todense(), op.todense(), rtol=1e-6, atol=1e-7,
+                    name=f"held ReLU {op_cls.__name__}")
 
 
 def test_held_mc_fisher_same_samples():
