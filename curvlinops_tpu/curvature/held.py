@@ -11,7 +11,8 @@ residuals on device turns every subsequent matvec into the pure tangent
 computation — no primal forward, no primal gradient — which is the right
 trade on TPU for iterative workloads (CG/LSMR solves, Lanczos/LOBPCG
 spectra, trace/diagonal estimation: dozens to thousands of matvecs against
-one fixed dataset).
+one fixed dataset). Supported bases: Hessian, GGN, MC-Fisher, empirical
+Fisher, Jacobian, and transposed Jacobian.
 
 ``op.linearized()`` returns a :class:`HeldLinearizationOperator` computing
 the SAME matrix (exact same floating-point kernel structure, same MC
@@ -213,6 +214,59 @@ def _ef_kernels(op, raw: Callable, holder: dict):
     return build, make_apply
 
 
+def _jacobian_kernels(op, raw: Callable, holder: dict):
+    """Jacobian build/apply pair (held analogue of ``jacobian.py:191-207``).
+
+    The held matvec is the pure tangent push-forward — no primal forward."""
+    p_struct = _struct_of(op._params)
+
+    def build(frozen, params, X, y, key):
+        _, consts = _split_linearize(
+            lambda p: raw(frozen, p, X), params, p_struct, holder
+        )
+        return {"consts": consts}
+
+    def make_apply():
+        lin = holder["lin"]
+
+        def apply(state, M, c):
+            consts = state["consts"]
+            jvp = lambda v: lin(v, *consts)  # noqa: E731
+            return jax.vmap(jvp, in_axes=-1, out_axes=-1)(M)
+
+        return apply
+
+    return build, make_apply
+
+
+def _jacobian_t_kernels(op, raw: Callable, holder: dict):
+    """Transposed-Jacobian build/apply pair (``jacobian.py:309-342``)."""
+    p_struct = _struct_of(op._params)
+
+    def build(frozen, params, X, y, key):
+        _, consts = _split_linearize(
+            lambda p: raw(frozen, p, X), params, p_struct, holder
+        )
+        return {"consts": consts}
+
+    def make_apply():
+        lin = holder["lin"]
+
+        def apply(state, W, c):
+            consts = state["consts"]
+            jvp = lambda v: lin(v, *consts)  # noqa: E731
+            vjp = jax.linear_transpose(jvp, p_struct)
+
+            def vjp_one(w):
+                return vjp(w)[0]
+
+            return jax.vmap(vjp_one, in_axes=-1, out_axes=-1)(W)
+
+        return apply
+
+    return build, make_apply
+
+
 def _hessian_kernels(op, raw: Callable, holder: dict):
     """Hessian build/apply pair (held analogue of ``hessian.py:41-66``).
 
@@ -241,13 +295,18 @@ def _hessian_kernels(op, raw: Callable, holder: dict):
     return build, make_apply
 
 
-def _kernels_for(op) -> tuple[Any, Callable, Callable, dict]:
+def _kernels_for(op) -> tuple[Any, Callable, Callable, dict, str]:
     from curvlinops_tpu.curvature.ef import EFLinearOperator
     from curvlinops_tpu.curvature.ggn import GGNLinearOperator
     from curvlinops_tpu.curvature.hessian import HessianLinearOperator
+    from curvlinops_tpu.curvature.jacobian import (
+        JacobianLinearOperator,
+        TransposedJacobianLinearOperator,
+    )
 
     holder: dict = {}
     frozen, raw = unwrap_model_fn(op._model_fn)
+    combine = "accumulate"
     if isinstance(op, HessianLinearOperator):
         build, make_apply = _hessian_kernels(op, raw, holder)
     elif isinstance(op, GGNLinearOperator):
@@ -257,13 +316,20 @@ def _kernels_for(op) -> tuple[Any, Callable, Callable, dict]:
             build, make_apply = _ggn_kernels(op, raw, holder)
     elif isinstance(op, EFLinearOperator):
         build, make_apply = _ef_kernels(op, raw, holder)
+    elif isinstance(op, JacobianLinearOperator):
+        build, make_apply = _jacobian_kernels(op, raw, holder)
+        combine = "concat_rows"
+    elif isinstance(op, TransposedJacobianLinearOperator):
+        build, make_apply = _jacobian_t_kernels(op, raw, holder)
+        combine = "slice_rows"
     else:
         raise NotImplementedError(
-            f"linearized() supports Hessian/GGN/MC-Fisher/EF operators, not "
-            f"{type(op).__name__} (KFAC-family operators already precompute "
-            "their factors; their matvecs never touch the model)."
+            f"linearized() supports Hessian/GGN/MC-Fisher/EF/Jacobian "
+            f"operators, not {type(op).__name__} (KFAC-family operators "
+            "already precompute their factors; their matvecs never touch "
+            "the model)."
         )
-    return frozen, build, make_apply, holder
+    return frozen, build, make_apply, holder, combine
 
 
 class HeldLinearizationOperator(LinearOperator):
@@ -277,14 +343,17 @@ class HeldLinearizationOperator(LinearOperator):
         super().__init__(base.in_spec, base.out_spec)
         self.SELF_ADJOINT = base.SELF_ADJOINT
         self._base = base
-        frozen, build, make_apply, holder = _kernels_for(base)
+        frozen, build, make_apply, holder, combine = _kernels_for(base)
+        self._combine = combine
         build_jit = jax.jit(build)
         base_key = jax.random.key(base._seed)
         params = base._replicate(base._params)
         self._held: list[tuple[Callable, Any, float]] = []
+        self._batch_sizes: list[int] = []
         apply_by_shape: dict = {}
         for idx, (X, y) in enumerate(base._loop_over_data(desc="hold")):
             c = base._get_normalization_factor(X, y)
+            self._batch_sizes.append(base._batch_size_fn(X))
             key = jax.random.fold_in(base_key, idx)
             state = build_jit(frozen, params, X, y, key)
             # one apply program per batch shape: the captured jaxpr is
@@ -295,7 +364,12 @@ class HeldLinearizationOperator(LinearOperator):
             )
             if shape_key not in apply_by_shape:
                 apply_by_shape[shape_key] = jax.jit(make_apply())
-            self._held.append((apply_by_shape[shape_key], state, c))
+            # pre-transfer the normalization scalar once: a per-matmat
+            # jnp.asarray on a Python float would be a fresh host->device
+            # transfer on every product
+            self._held.append(
+                (apply_by_shape[shape_key], state, jnp.asarray(c, self.dtype))
+            )
         if not self._held:
             raise ValueError("Empty dataset: nothing to hold.")
 
@@ -303,8 +377,27 @@ class HeldLinearizationOperator(LinearOperator):
         from curvlinops_tpu.risk import _tree_add
 
         M = self._base._replicate(M)
+        if self._combine == "concat_rows":  # Jacobian: stack prediction rows
+            blocks = [
+                apply_jit(state, M, c) for apply_jit, state, c in self._held
+            ]
+            return jnp.concatenate(blocks, axis=0)
+        if self._combine == "slice_rows":  # J^T: pull back per-batch rows
+            out, offset = None, 0
+            for (apply_jit, state, c), B in zip(self._held, self._batch_sizes):
+                rows = jax.lax.slice_in_dim(M, offset, offset + B, axis=0)
+                res = apply_jit(state, rows, c)
+                out = res if out is None else _tree_add(out, res)
+                offset += B
+            return out
         AM = None
-        for apply_jit, state, c in self._held:
-            out = apply_jit(state, M, jnp.asarray(c, self.dtype))
+        for apply_jit, state, c_dev in self._held:
+            out = apply_jit(state, M, c_dev)
             AM = out if AM is None else _tree_add(AM, out)
         return AM
+
+    def _adjoint(self) -> "LinearOperator":
+        """Adjoint = the held linearization of the base's adjoint (used by
+        the non-self-adjoint Jacobian pair; curvature operators are
+        ``SELF_ADJOINT`` and never reach this)."""
+        return self._base.adjoint().linearized()

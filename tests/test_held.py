@@ -100,6 +100,24 @@ def test_held_cross_entropy_and_algebra():
                     name="held algebra")
 
 
+def test_held_jacobian_pair():
+    """Held J / J^T equal the base operators and stay mutual adjoints
+    (ragged batches exercise the concat-rows / slice-rows combines)."""
+    from curvlinops_tpu.curvature.jacobian import JacobianLinearOperator
+
+    model, params, data = _mlp_case(seed=6, relu=True)
+    J = JacobianLinearOperator(model, params, data, check_deterministic=False)
+    heldJ = J.linearized()
+    report_nonclose(heldJ.todense(), J.todense(), rtol=1e-6, atol=1e-7,
+                    name="held Jacobian")
+    JT = J.adjoint()
+    heldJT = heldJ.adjoint()
+    report_nonclose(heldJT.todense(), JT.todense(), rtol=1e-6, atol=1e-7,
+                    name="held Jacobian^T")
+    report_nonclose(heldJT.todense(), heldJ.todense().T, rtol=1e-6, atol=1e-7,
+                    name="held adjoint consistency")
+
+
 def test_held_kfac_refused():
     model, params, data = _mlp_case(seed=3)
     kfac = KFACLinearOperator(model, MSELoss("mean"), params, data,
