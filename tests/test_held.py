@@ -118,6 +118,39 @@ def test_held_jacobian_pair():
                     name="held adjoint consistency")
 
 
+def test_held_composes_with_solver_layer():
+    """Held operators drop into the iterative/estimation layer unchanged:
+    CG inverse solves against them, hutchinson uses their matmats, and
+    ``traced()`` hoists their held state into jit arguments."""
+    from curvlinops_tpu.estimators.trace import hutchinson_trace
+    from curvlinops_tpu.ops.dense import IdentityLinearOperator
+    from curvlinops_tpu.ops.inverse import CGInverseLinearOperator
+
+    model, params, data = _mlp_case(seed=7, relu=True)
+    op = GGNLinearOperator(model, MSELoss("mean"), params, data,
+                           check_deterministic=False)
+    held = op.linearized()
+    I = IdentityLinearOperator(op.in_spec)
+    v = np.random.default_rng(1).normal(size=op.shape[1]).astype(np.float32)
+    inv_b = CGInverseLinearOperator(op + 0.1 * I, maxiter=400, tol=1e-7)
+    inv_h = CGInverseLinearOperator(held + 0.1 * I, maxiter=400, tol=1e-7)
+    report_nonclose(inv_h @ v, inv_b @ v, rtol=1e-5, atol=1e-6,
+                    name="CG inverse on held")
+    np.testing.assert_allclose(
+        float(hutchinson_trace(held, num_matvecs=32)),
+        float(hutchinson_trace(op, num_matvecs=32)),
+        rtol=1e-5,
+    )
+    fn, consts = held.traced(1)
+    M = jax.tree.map(lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype),
+                     params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        jax.jit(fn)(M, *consts),
+        held._matmat(M),
+    )
+
+
 def test_held_kfac_refused():
     model, params, data = _mlp_case(seed=3)
     kfac = KFACLinearOperator(model, MSELoss("mean"), params, data,
