@@ -35,10 +35,50 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _wait_for_device(max_wait_s: float = 1200.0) -> None:
+    """Block until the TPU tunnel answers a trivial matmul.
+
+    The axon tunnel goes UNAVAILABLE for minutes at a time (and a hung RPC
+    never returns), so the probe runs in a SUBPROCESS with a hard timeout —
+    the probe process exits before this process touches the device, keeping
+    the one-TPU-process-at-a-time rule."""
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "x = jnp.ones((8, 8)); print(float((x @ x).sum()))"
+    )
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=120,
+                capture_output=True,
+            )
+            if res.returncode == 0:
+                if attempt > 1:
+                    print(f"device up after {attempt} probes", file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print(
+                "WARNING: device probe never succeeded; proceeding anyway",
+                file=sys.stderr,
+            )
+            return
+        print(f"device probe {attempt} failed; retrying in 30s", file=sys.stderr)
+        time.sleep(30)
+
+
 def main() -> None:
     from curvlinops_tpu.curvature.ggn import make_batch_ggn_matmat
     from curvlinops_tpu.models import cifar10_resnet18
 
+    _wait_for_device()
     print(f"benchmark device: {jax.devices()[0]}", file=sys.stderr)
 
     prob = cifar10_resnet18(batch_size=512)

@@ -21,6 +21,7 @@ from curvlinops_tpu.curvature.loss_hessian import FisherType, KFACType
 from curvlinops_tpu import parallel
 from curvlinops_tpu.estimators.diagonal import hutchinson_diag, xdiag
 from curvlinops_tpu.estimators.norm import hutchinson_squared_fro
+from curvlinops_tpu.estimators.slq import slq_function_trace, slq_logdet
 from curvlinops_tpu.estimators.trace import hutchinson_trace, hutchpp_trace, xtrace
 from curvlinops_tpu.solvers.eigsh import topk_eigenpairs
 from curvlinops_tpu.utils.misc import FrozenModelFn, make_functional_call
@@ -109,6 +110,8 @@ __all__ = [
     "xdiag",
     # norm estimation
     "hutchinson_squared_fro",
+    "slq_function_trace",
+    "slq_logdet",
     # adapters
     "make_functional_call",
     "FrozenModelFn",

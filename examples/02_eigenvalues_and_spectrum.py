@@ -49,6 +49,13 @@ def main():
         _, d = cached.approximate_spectrum(num_repeats=4, kappa=kappa)
         print(f"kappa={kappa}: peak density {float(d.max()):.4f}")
 
+    # iterative spectral workloads pay the model's primal forward inside
+    # EVERY matvec — hold the per-batch linearization on device instead
+    # (same matrix, tangent-only matvecs; see curvature/held.py)
+    held = G.linearized() + 1e-3 * cl.IdentityLinearOperator(G.in_spec)
+    evals_held, _ = cl.topk_eigenpairs(held, k=5, maxiter=200)
+    print("top-5 via held linearization:", np.asarray(evals_held).round(5))
+
 
 if __name__ == "__main__":
     main()
