@@ -61,6 +61,18 @@ def main():
     print("  ||A||_F^2 estimate:", fro2,
           " exact:", float(np.linalg.norm(np.asarray(damped.todense())) ** 2))
 
+    # --- matrix functions: logdet / tr(A^-1) via Lanczos quadrature -------
+    # one jitted program for all probes; no dense factorization
+    ld = float(cl.slq_logdet(damped, ncv=64, num_repeats=32,
+                             key=jax.random.key(8)))
+    ld_true = float(np.linalg.slogdet(np.asarray(damped.todense()))[1])
+    print(f"  slq_logdet: {ld:.4f} (exact {ld_true:.4f})")
+    tr_inv = float(cl.slq_function_trace(damped, lambda t: 1.0 / t, ncv=64,
+                                         num_repeats=32,
+                                         key=jax.random.key(9)))
+    tr_inv_true = float(np.trace(np.linalg.inv(np.asarray(damped.todense()))))
+    print(f"  slq tr(A^-1): {tr_inv:.4f} (exact {tr_inv_true:.4f})")
+
 
 if __name__ == "__main__":
     main()
