@@ -97,6 +97,10 @@ def main() -> None:
     t, (grid, dens) = timed(lambda: cl.lanczos_approximate_spectrum(
         damped, ncv=64, num_points=512, num_repeats=2, key=key))
     results["lanczos_spectrum ncv=64 x2 (s)"] = round(t, 3)
+    t, ld = timed(lambda: cl.slq_logdet(damped, ncv=64, num_repeats=8,
+                                        key=key))
+    results["slq_logdet ncv=64 x8 (s)"] = round(t, 3)
+    print(f"slq_logdet: {float(ld):.1f}", file=sys.stderr)
     t, (w, _) = timed(lambda: cl.topk_eigenpairs(damped, k=5, maxiter=50,
                                                  key=key))
     results["topk_eigenpairs k=5 (s)"] = round(t, 3)
