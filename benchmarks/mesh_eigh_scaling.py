@@ -53,12 +53,15 @@ import jax.numpy as jnp  # noqa: E402
 def factor_stacks(key) -> dict:
     """The 124M-GPT KFAC factor shape profile (12 blocks per shape)."""
     out = {}
-    for name, (L, n) in {
+    for i, (name, (L, n)) in enumerate({
         "attn_in": (12, 769),
         "attn_out": (12, 2304),
         "mlp_in": (12, 3072),
-    }.items():
-        k = jax.random.fold_in(key, hash(name) % 2**31)
+    }.items()):
+        # fold in the enumerate index, not hash(name): string hashing is
+        # randomized per process, which made the generated data (and hence
+        # the published timings) irreproducible across runs
+        k = jax.random.fold_in(key, i)
         A = jax.random.normal(k, (L, n, n), jnp.float32) / n**0.5
         out[name] = A @ jnp.swapaxes(A, -1, -2) + 0.1 * jnp.eye(n)
     return out

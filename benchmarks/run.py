@@ -107,12 +107,9 @@ def bench_held_matvec(prob, op_cls, **op_kwargs) -> float:
     held = op.linearized()
     apply_jit, state, c = held._held[0]
     M = jax.tree.map(lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), prob.params)
-    # pre-transfer the normalization scalar: a per-iteration jnp.asarray on a
-    # Python float is a fresh host->device transfer each chain link, which the
-    # marginal rate correctly charges to the kernel
-    c_dev = jnp.asarray(c, held.dtype)
+    # c is already the device scalar HeldLinearizationOperator pre-transferred
     ms, _ = _timed_chain(
-        lambda m, state: apply_jit(state, m, c_dev),
+        lambda m, state: apply_jit(state, m, c),
         M,
         state,
         jit=False,  # apply_jit is already the cached jitted program

@@ -11,9 +11,11 @@ Per probe vector ``v`` (Rademacher, so ``||v||^2 == dim`` exactly), ``ncv``
 Lanczos steps give the tridiagonal eigenpairs ``(theta, U)``; Gauss
 quadrature reads ``v^T f(A) v ~ dim * sum_k U[0,k]^2 f(theta_k)``. All
 probes run inside ONE cached jitted program (vmapped Lanczos loops; operator
-state as jit arguments via ``LinearOperator.traced_flat``), so the whole
-estimate is a single device dispatch — the TPU-native replacement for the
-host loop this family usually ships with.
+state as jit arguments via ``LinearOperator.traced_flat``) that is
+independent of ``f`` — it returns the ``[repeats, ncv]`` quadrature nodes
+and weights, and ``f`` enters only in the tiny eager reduction at the end.
+Every spectral map therefore shares the same compiled program — the
+TPU-native replacement for the host loop this family usually ships with.
 
 No reorthogonalization: like the spectral-density routines, duplicate Ritz
 values can appear for large ``ncv``; their quadrature weights then split, so
@@ -68,21 +70,26 @@ def slq_function_trace(
     key = key if key is not None else jax.random.key(0)
     mv, consts = _flat_matvec(A)
 
-    def estimate(v0s, consts):
+    # The expensive program — vmapped Lanczos over all probes — does not
+    # depend on ``f``: it returns the quadrature nodes (Ritz values) and
+    # weights. Caching it WITHOUT ``f`` in the key means every spectral map
+    # (logdet, tr(A^-1), tr(exp A), per-call lambdas) reuses one compiled
+    # program; ``f`` enters only in the tiny eager reduction below.
+    def quadrature(v0s, consts):
         def one(v0):
             evals, evecs = _fast_lanczos_loop(mv, consts, v0, ncv, dtype)
-            weights = evecs[0, :] ** 2
-            return jnp.sum(weights * f(evals))
+            return evals, evecs[0, :] ** 2
 
-        return dim * jnp.mean(jax.vmap(one)(v0s))
+        return jax.vmap(one)(v0s)
 
     program = _cached_program(
         A,
-        ("slq", ncv, num_repeats, id(f)),
-        lambda: jax.jit(estimate),
+        ("slq_quadrature", ncv, num_repeats),
+        lambda: jax.jit(quadrature),
     )
     v0s = jax.random.rademacher(key, (num_repeats, dim), dtype)
-    return program(v0s, consts)
+    nodes, weights = program(v0s, consts)
+    return dim * jnp.mean(jnp.sum(weights * f(nodes), axis=-1))
 
 
 def slq_logdet(

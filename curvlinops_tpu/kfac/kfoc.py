@@ -37,7 +37,7 @@ from curvlinops_tpu.kfac.operator import KFACLinearOperator
 
 
 def top_rank_one_kron_factors(
-    P: jax.Array, num_iters: int = 2000, tol: float = 1e-7
+    P: jax.Array, num_iters: int = 2000, tol: float | None = None
 ) -> tuple[jax.Array, jax.Array, dict]:
     """Top singular pair of the Van Loan rearrangement, by power iteration.
 
@@ -50,11 +50,25 @@ def top_rank_one_kron_factors(
     ``kfoc_make_fx.py:123-175``; a fixed count silently returned unconverged
     factors there).
 
+    Stopping: the loop exits on ``res <= tol``, on the iteration cap, or on
+    STAGNATION — less than 2% residual improvement over the last 100 steps.
+    The f32 recurrence has an asymptotic residual floor (~1.5e-7 at small
+    sizes, growing with the contraction length) that sits ABOVE machine eps,
+    so a tolerance alone either never triggers (every group silently burns
+    the full ``num_iters``) or must be loosened past what near-degenerate
+    pairs need; the stagnation rule stops at the floor instead, wherever it
+    lies. The window is deliberately loose: a near-degenerate pair
+    (sigma2/sigma1 = 0.998) shows a long transient with only ~2% improvement
+    per 50 steps before its asymptotic rate kicks in, and must NOT be cut
+    off there.
+
     Args:
         P: Per-sample ``vec(W)`` gradients ``[V, N, d_out, d_in]`` scaled so
             ``G = sum vec(P) vec(P)^T`` is the layer GGN block.
         num_iters: Iteration cap.
-        tol: Relative residual tolerance for early stopping.
+        tol: Relative residual tolerance for early stopping. Default
+            ``10 * eps`` of ``P``'s dtype (f32: ~1.2e-6; reached in ~20
+            steps on well-separated pairs).
 
     Returns:
         ``(S_1 [d_out, d_out], S_2 [d_in, d_in], info)`` with
@@ -64,7 +78,10 @@ def top_rank_one_kron_factors(
         scalars.
     """
     d_out, d_in = P.shape[2], P.shape[3]
+    if tol is None:
+        tol = 10 * float(jnp.finfo(P.dtype).eps)
     eps = jnp.finfo(P.dtype).tiny
+    stall_limit, improvement = 100, 0.98
 
     def R(M):  # [d_in, d_in] -> [d_out, d_out]
         return jnp.einsum("vnor,rc,vnpc->op", P, M, P)
@@ -77,11 +94,14 @@ def top_rank_one_kron_factors(
     big = jnp.asarray(jnp.inf, P.dtype)
 
     def cond(carry):
-        _, _, res, k = carry
-        return jnp.logical_and(k < num_iters, res > tol)
+        _, _, res, k, _best, stall = carry
+        return jnp.logical_and(
+            k < num_iters,
+            jnp.logical_and(res > tol, stall < stall_limit),
+        )
 
     def body(carry):
-        V, _sigma, _res, k = carry
+        V, _sigma, _res, k, best, stall = carry
         U = R(V)
         U = U / jnp.maximum(jnp.linalg.norm(U), eps)
         W = RT(U)
@@ -90,10 +110,16 @@ def top_rank_one_kron_factors(
         # relative singular-pair residual; exact 0 block converges instantly
         res = jnp.linalg.norm(W - sigma * V) / jnp.maximum(sigma, eps)
         res = jnp.where(sigma <= eps, 0.0, res)
-        return V_new, sigma, res, k + 1
+        improved = res < best * improvement
+        best = jnp.where(improved, res, best)
+        stall = jnp.where(improved, 0, stall + 1)
+        return V_new, sigma, res, k + 1, best, stall
 
-    V, sigma, res, iters = jax.lax.while_loop(
-        cond, body, (V0, jnp.zeros((), P.dtype), big, jnp.asarray(0))
+    V, sigma, res, iters, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (V0, jnp.zeros((), P.dtype), big, jnp.asarray(0), big,
+         jnp.asarray(0)),
     )
     U = R(V)
     U = U / jnp.maximum(jnp.linalg.norm(U), eps)
@@ -108,7 +134,7 @@ def top_rank_one_kron_factors(
 class KFOCComputer(KFACComputer):
     """Single-batch computer for KFOC's per-sample-gradient SVD factors."""
 
-    def __init__(self, *args, power_iters: int = 2000, power_tol: float = 1e-7,
+    def __init__(self, *args, power_iters: int = 2000, power_tol: float | None = None,
                  **kwargs):
         kwargs.setdefault("kfac_approx", KFACType.EXPAND)
         self.power_iters, self.power_tol = power_iters, power_tol
@@ -270,7 +296,7 @@ class KFOCLinearOperator(KFACLinearOperator):
         mesh=None,
         data_axis: str = "data",
         power_iters: int = 2000,
-        power_tol: float = 1e-7,
+        power_tol: float | None = None,
     ):
         computer = KFOCComputer(
             model_fn,

@@ -260,6 +260,11 @@ def extract_averaged_patches(x: jax.Array, meta: dict) -> jax.Array | None:
         )
     if any(d != 1 for d in meta["lhs_dilation"]):
         return None
+    if any(lo < 0 or hi < 0 for lo, hi in meta["padding"]):
+        # negative padding (cropping) is valid in lax.conv_general_dilated
+        # but not in jnp.pad; fall back to the materializing path, whose
+        # conv_general_dilated_patches handles it natively
+        return None
     x = _group_average_channels(x, meta)
     _, kernel_shape, _, _ = _conv_spatial_dims(meta)
     dn = meta["dimension_numbers"]
@@ -334,6 +339,7 @@ def input_to_sharing_format(
         and kind == "conv"
         and meta["batch_group_count"] == 1
         and all(d == 1 for d in meta["lhs_dilation"])
+        and all(lo >= 0 and hi >= 0 for lo, hi in meta["padding"])
     )
     if use_averaged:
         # REDUCE only needs the location-averaged patches: compute them

@@ -40,6 +40,28 @@ def traced_epoch() -> int:
     return _TRACED_EPOCH[0]
 
 
+def cached_program(A, key: tuple, builder):
+    """Build-once jitted program stored on the operator instance.
+
+    The cache holds programs for the CURRENT traced epoch only: bumping the
+    epoch (``invalidate_traced``, solver hyperparameter changes) evicts every
+    stale entry instead of stranding compiled programs — and the operator
+    state tuples they pin — in the instance dict forever.
+    """
+    epoch = traced_epoch()
+    try:
+        stored = A.__dict__.get("_program_cache")
+    except AttributeError:  # plain arrays have no instance dict
+        return builder()
+    if stored is None or stored[0] != epoch:
+        stored = (epoch, {})
+        A._program_cache = stored
+    cache = stored[1]
+    if key not in cache:
+        cache[key] = builder()
+    return cache[key]
+
+
 # Input/output format tokens
 _FMT_TREE = "tree"  # pytree matching the spec, no column axis
 _FMT_TREE_COLS = "tree_cols"  # pytree with trailing column axis on every leaf

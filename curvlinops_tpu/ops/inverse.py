@@ -31,7 +31,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from curvlinops_tpu.ops.base import LinearOperator, traced_epoch
+from curvlinops_tpu.ops.base import LinearOperator, cached_program
 from curvlinops_tpu.solvers.cg import batched_cg
 from curvlinops_tpu.solvers.lsmr import batched_lsmr
 from curvlinops_tpu.utils.flatten import tree_add, tree_scale
@@ -85,9 +85,9 @@ class CGInverseLinearOperator(LinearOperator):
         fnA, argsA = self._A.traced(ncols)
         P = self._preconditioner
         fnP, argsP = P.traced(ncols) if P is not None else (None, ())
-        key = (ncols, self._maxiter, self._tol, self._atol, traced_epoch())
-        cache = self.__dict__.setdefault("_program_cache", {})
-        if key not in cache:
+        key = (ncols, self._maxiter, self._tol, self._atol)
+
+        def build():
             maxiter, tol, atol = self._maxiter, self._tol, self._atol
 
             def fused(M, argsA, argsP):
@@ -97,8 +97,9 @@ class CGInverseLinearOperator(LinearOperator):
                     mv, M, maxiter=maxiter, tol=tol, atol=atol, preconditioner=mp
                 )
 
-            cache[key] = jax.jit(fused)
-        X, info = cache[key](M, argsA, argsP)
+            return jax.jit(fused)
+
+        X, info = cached_program(self, key, build)(M, argsA, argsP)
         self._last_info = info
         return X
 
@@ -150,9 +151,9 @@ class LSMRInverseLinearOperator(LinearOperator):
             self._A_adj = self._A.adjoint()
         fnA, argsA = self._A.traced(ncols)
         fnAt, argsAt = self._A_adj.traced(ncols)
-        key = (ncols, self._damp, self._maxiter, self._atol, self._btol, traced_epoch())
-        cache = self.__dict__.setdefault("_program_cache", {})
-        if key not in cache:
+        key = (ncols, self._damp, self._maxiter, self._atol, self._btol)
+
+        def build():
             damp, maxiter = self._damp, self._maxiter
             atol, btol = self._atol, self._btol
 
@@ -167,8 +168,9 @@ class LSMRInverseLinearOperator(LinearOperator):
                     btol=btol,
                 )
 
-            cache[key] = jax.jit(fused)
-        X, info = cache[key](M, argsA, argsAt)
+            return jax.jit(fused)
+
+        X, info = cached_program(self, key, build)(M, argsA, argsAt)
         self._lsmr_info = info
         return X
 
@@ -226,9 +228,9 @@ class NeumannInverseLinearOperator(LinearOperator):
         fnA, argsA = self._A.traced(ncols)
         P = self._preconditioner
         fnP, argsP = P.traced(ncols) if P is not None else (None, ())
-        key = (ncols, self._num_terms, self._check_nan, traced_epoch())
-        cache = self.__dict__.setdefault("_program_cache", {})
-        if key not in cache:
+        key = (ncols, self._num_terms, self._check_nan)
+
+        def build():
             num_terms, check_nan = self._num_terms, self._check_nan
 
             def fused(M, scale, argsA, argsP):
@@ -269,8 +271,9 @@ class NeumannInverseLinearOperator(LinearOperator):
                 )
                 return tree_scale(scale, result), flag, first_bad
 
-            cache[key] = jax.jit(fused)
-        result, flag, first_bad = cache[key](
+            return jax.jit(fused)
+
+        result, flag, first_bad = cached_program(self, key, build)(
             M, jnp.asarray(self._scale, self.dtype), argsA, argsP
         )
         if self._check_nan and bool(flag):

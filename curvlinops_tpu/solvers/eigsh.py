@@ -48,12 +48,9 @@ def topk_eigenpairs(
     if fuse and isinstance(A, LinearOperator):
         widths = sorted({1, k, 3 * k})
         forms = {w: A.traced_flat(w) for w in widths}
-        from curvlinops_tpu.ops.base import traced_epoch
+        from curvlinops_tpu.ops.base import cached_program
 
-        cache = A.__dict__.setdefault("_program_cache", {})
-        cache_key = ("lobpcg", k, maxiter, tol, traced_epoch())
-        if cache_key not in cache:
-
+        def build():
             def fused(X0, consts_by_width):
                 def matmat(X):
                     fn, _ = forms[X.shape[1]]
@@ -63,8 +60,10 @@ def topk_eigenpairs(
                 order = jnp.argsort(evals)[::-1]
                 return evals[order], evecs[:, order]
 
-            cache[cache_key] = jax.jit(fused)
-        return cache[cache_key](X0, {w: forms[w][1] for w in widths})
+            return jax.jit(fused)
+
+        program = cached_program(A, ("lobpcg", k, maxiter, tol), build)
+        return program(X0, {w: forms[w][1] for w in widths})
 
     def matmat(X):
         return A @ X

@@ -42,16 +42,9 @@ def _flat_matvec(A) -> tuple:
 
 def _cached_program(A, key: tuple, builder):
     """Build-once jitted program stored on the operator instance."""
-    from curvlinops_tpu.ops.base import traced_epoch
+    from curvlinops_tpu.ops.base import cached_program
 
-    key = key + (traced_epoch(),)
-    try:
-        cache = A.__dict__.setdefault("_program_cache", {})
-    except AttributeError:  # plain arrays have no instance dict
-        return builder()
-    if key not in cache:
-        cache[key] = builder()
-    return cache[key]
+    return cached_program(A, key, builder)
 
 
 def _fast_lanczos_loop(mv, consts, v, ncv: int, dtype):

@@ -90,6 +90,20 @@ def test_input_dilated_falls_back():
     )
 
 
+def test_negative_padding_falls_back():
+    """Negative padding (cropping) is valid in lax convs but not jnp.pad:
+    the averaged path must refuse and the sharing-format path must still
+    produce the materialized mean."""
+    meta = _meta((2, 3, 8, 8), (4, 3, 3, 3), padding=((-1, 0), (0, -1)))
+    x = jax.random.normal(jax.random.key(4), (2, 3, 8, 8))
+    assert extract_averaged_patches(x, meta) is None
+    out = input_to_sharing_format(x, "conv", meta, "reduce")
+    full = extract_conv_patches(x, meta)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(full.mean(axis=1, keepdims=True)), atol=1e-5
+    )
+
+
 def test_sharing_format_reduce_uses_averaged_path():
     meta = _meta((2, 3, 8, 8), (4, 3, 3, 3), strides=(2, 2),
                  padding=((1, 1), (1, 1)))

@@ -267,6 +267,18 @@ def test_kfoc_power_iteration_early_stop_well_separated():
     assert float(info["sigma"]) > 0
 
 
+def test_kfoc_power_iteration_stagnation_stop():
+    """With an unreachable tolerance the stagnation rule stops at the f32
+    residual floor instead of burning the full iteration cap (the default
+    eps-scale tol sits above the floor only for small problems)."""
+    from curvlinops_tpu.kfac.kfoc import top_rank_one_kron_factors
+
+    P = jax.random.normal(jax.random.key(5), (1, 8, 16, 48), jnp.float32)
+    _, _, info = top_rank_one_kron_factors(P, num_iters=2000, tol=0.0)
+    assert int(info["iterations"]) < 500  # stopped at the floor, not the cap
+    assert float(info["residual"]) < 1e-5  # and the floor is converged
+
+
 def test_kfoc_operator_exposes_power_info():
     case = make_case("mlp_ce_mean")
     X, y = case["data"][0]

@@ -76,10 +76,24 @@ def test_slq_validation():
 
 
 def test_slq_program_cached():
-    """Repeated calls with the same (ncv, repeats, f) reuse one program."""
+    """The quadrature program is independent of ``f``: repeated calls —
+    including ``slq_logdet``'s per-call lambdas and entirely different
+    spectral maps — reuse ONE compiled program."""
     A, _ = _spd_operator(dim=32, seed=2)
-    f = lambda t: jnp.log(jnp.maximum(t, 1e-30))  # noqa: E731
-    slq_function_trace(A, f, ncv=16, num_repeats=4)
-    n_programs = len(A.__dict__.get("_program_cache", {}))
-    slq_function_trace(A, f, ncv=16, num_repeats=4, key=jax.random.key(9))
-    assert len(A.__dict__.get("_program_cache", {})) == n_programs
+    slq_logdet(A, ncv=16, num_repeats=4)
+    n_programs = len(A._program_cache[1])
+    slq_logdet(A, ncv=16, num_repeats=4, key=jax.random.key(9))
+    slq_function_trace(A, jnp.exp, ncv=16, num_repeats=4)
+    slq_function_trace(A, lambda t: 1.0 / t, ncv=16, num_repeats=4)
+    assert len(A._program_cache[1]) == n_programs
+
+
+def test_program_cache_evicted_on_epoch_bump():
+    """Bumping the traced epoch EVICTS stale programs instead of stranding
+    them in the instance dict forever."""
+    A, _ = _spd_operator(dim=32, seed=4)
+    slq_logdet(A, ncv=8, num_repeats=2)
+    assert len(A._program_cache[1]) == 1
+    A.invalidate_traced()
+    slq_logdet(A, ncv=8, num_repeats=2)
+    assert len(A._program_cache[1]) == 1  # old-epoch entry evicted

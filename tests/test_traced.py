@@ -149,9 +149,9 @@ def test_cg_program_cache_reused_across_calls():
     cg = cl.CGInverseLinearOperator(damped, maxiter=200, tol=1e-8)
     v = np.random.default_rng(3).normal(size=G.shape[1]).astype(np.float32)
     x1 = cg @ v
-    assert len(cg._program_cache) == 1
+    assert len(cg._program_cache[1]) == 1
     x2 = cg @ (2 * v)
-    assert len(cg._program_cache) == 1  # same-width solve reuses the program
+    assert len(cg._program_cache[1]) == 1  # same-width solve reuses the program
     np.testing.assert_allclose(2 * x1, x2, rtol=1e-4, atol=1e-5)
     # the solve actually inverts
     np.testing.assert_allclose(damped @ x1, v, atol=1e-3)
@@ -175,7 +175,7 @@ def test_fast_lanczos_program_cached_on_operator():
     mat = jax.random.normal(jax.random.key(3), (30, 30))
     A = cl.MatrixLinearOperator(mat @ mat.T)
     evals, _ = fast_lanczos(A, ncv=10, key=jax.random.key(0))
-    assert any(k[:2] == ("fast_lanczos", 10) for k in A._program_cache)
+    assert any(k[:2] == ("fast_lanczos", 10) for k in A._program_cache[1])
     # extremal Ritz value approximates the top eigenvalue
     top = float(np.linalg.eigvalsh(np.asarray(mat @ mat.T))[-1])
     assert abs(float(evals[-1]) - top) / top < 0.05
