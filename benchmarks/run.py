@@ -303,7 +303,7 @@ def main() -> None:
         "--problem",
         default="mnist_mlp",
         choices=["mnist_mlp", "cifar10_resnet18", "imagenet_resnet50",
-                 "shakespeare_nanogpt"],
+                 "shakespeare_nanogpt", "cifar10_vit"],
     )
     parser.add_argument(
         "--ops",

@@ -1,7 +1,9 @@
-"""Benchmark model zoo: MLP, ResNet-18/50, nanoGPT-class transformer.
+"""Benchmark model zoo: MLP, ResNet-18/50, nanoGPT-class transformer, ViT.
 
 Mirrors the reference's benchmark problems
-(``docs/examples/basic_usage/benchmark_utils.py:341-449``).
+(``docs/examples/basic_usage/benchmark_utils.py:341-449``) and adds a
+Vision Transformer (conv patch embedding + dense attention blocks — both
+KFAC layer kinds in one model), which the reference zoo lacks.
 """
 
 from curvlinops_tpu.models.common import Problem
@@ -20,12 +22,20 @@ from curvlinops_tpu.models.resnet import (
     kfac_restricted,
     resnet_apply,
 )
+from curvlinops_tpu.models.vit import (
+    TINY_VIT,
+    ViTConfig,
+    cifar10_vit,
+    init_vit,
+    vit_apply,
+)
 
 PROBLEMS = {
     "synthetic_mnist_mlp": mnist_mlp,
     "synthetic_cifar10_resnet18": cifar10_resnet18,
     "synthetic_imagenet_resnet50": imagenet_resnet50,
     "synthetic_shakespeare_nanogpt": shakespeare_nanogpt,
+    "synthetic_cifar10_vit": cifar10_vit,
 }
 
 __all__ = [
@@ -44,4 +54,9 @@ __all__ = [
     "gpt_apply",
     "init_gpt",
     "kfac_restricted",
+    "cifar10_vit",
+    "ViTConfig",
+    "TINY_VIT",
+    "vit_apply",
+    "init_vit",
 ]

@@ -113,6 +113,68 @@ def test_tiny_gpt_forward_and_kfac():
     assert np.isfinite(kfac @ v).all()
 
 
+def test_tiny_vit_forward_ggn_and_kfac():
+    """ViT: conv patch embedding + dense attention blocks in ONE model —
+    KFAC must discover BOTH layer kinds from the same jaxpr; GGN matches
+    the dense ground truth computed from the Jacobian."""
+    from curvlinops_tpu import CrossEntropyLoss
+    from curvlinops_tpu.models import TINY_VIT, init_vit, vit_apply
+    from curvlinops_tpu.examples import dense_ggn
+
+    config = TINY_VIT
+    params = init_vit(jax.random.key(0), config)
+    apply_fn = partial(vit_apply, config=config)
+    B = 3
+    X = jax.random.uniform(
+        jax.random.key(1), (B, config.image_size, config.image_size, 3)
+    )
+    y = jax.random.randint(jax.random.key(2), (B,), 0, config.num_classes)
+    logits = apply_fn(params, X)
+    assert logits.shape == (B, config.num_classes)
+    data = [(X, y)]
+    loss = CrossEntropyLoss("mean")
+
+    # GGN over ALL params (conv, cls token, pos embedding, layernorms) vs
+    # the dense ground truth
+    G = GGNLinearOperator(
+        apply_fn, loss, params, data, check_deterministic=False
+    )
+    dense = np.asarray(G.todense())
+    truth = dense_ggn(apply_fn, loss, params, data)
+    np.testing.assert_allclose(dense, np.asarray(truth), rtol=1e-4, atol=1e-6)
+
+    # KFAC over the conv+dense subset: the patch conv AND every block's
+    # qkv/proj/mlp pair AND the head must be discovered
+    kfac_fn, kfac_params = kfac_restricted(apply_fn, params)
+    kfac = KFACLinearOperator(
+        kfac_fn,
+        loss,
+        kfac_params,
+        data,
+        fisher_type="mc",
+        mc_samples=1,
+        check_deterministic=False,
+    )
+    n_weight_groups = sum(1 for g in kfac.groups if g.weight_path is not None)
+    assert n_weight_groups == 4 * config.n_layer + 2  # blocks + conv + fc
+    kinds = {u.kind for g in kfac.groups for u in g.uses}
+    assert "conv" in kinds and "dense" in kinds
+    v = np.random.default_rng(3).standard_normal(kfac.shape[0]).astype(np.float32)
+    assert np.isfinite(kfac @ v).all()
+    inv = kfac.inverse(damping=1e-1)
+    assert np.isfinite(inv @ v).all()
+
+
+def test_vit_problem_constructs():
+    from curvlinops_tpu.models import cifar10_vit
+
+    prob = cifar10_vit(batch_size=2, config=None)
+    X, y = prob.data[0]
+    assert prob.model_fn(prob.params, X).shape == (2, 10)
+    # restricted set froze cls/pos/layernorms
+    assert not any("cls" in k or "pos" in k or "ln" in k for k in prob.kfac_params)
+
+
 def test_nanogpt_problem_constructs_tiny():
     prob = shakespeare_nanogpt(batch_size=2, config=GPTConfig(
         block_size=8, vocab_size=16, n_layer=1, n_head=2, n_embd=8
