@@ -19,6 +19,7 @@ from curvlinops_tpu.curvature.jacobian import (
 )
 from curvlinops_tpu.curvature.loss_hessian import FisherType, KFACType
 from curvlinops_tpu import parallel
+from curvlinops_tpu.parallel import make_mesh, shard_params
 from curvlinops_tpu.estimators.diagonal import hutchinson_diag, xdiag
 from curvlinops_tpu.estimators.norm import hutchinson_squared_fro
 from curvlinops_tpu.estimators.slq import slq_function_trace, slq_logdet
@@ -64,6 +65,8 @@ __version__ = "0.1.0"
 __all__ = [
     "PrefetchToDevice",
     "prefetch_to_device",
+    "make_mesh",
+    "shard_params",
     "LinearOperator",
     "PytreeLinearOperator",
     "SumLinearOperator",
