@@ -81,8 +81,16 @@ def _block(params, x, n_head):
     return x + (h @ params["mlp_proj"]["W"] + params["mlp_proj"]["b"])
 
 
-def vit_apply(params, images, *, config: ViTConfig) -> jax.Array:
-    """Forward pass ``[B, H, W, C] images -> [B, num_classes] logits``."""
+def vit_apply(
+    params, images, *, config: ViTConfig, remat_blocks: bool = True
+) -> jax.Array:
+    """Forward pass ``[B, H, W, C] images -> [B, num_classes] logits``.
+
+    Accepts either per-layer block params (``h0..h{n-1}`` keys, unrolled
+    Python loop) or scan-stacked block params (one ``h`` subtree with a
+    leading ``n_layer`` axis, applied with ``lax.scan`` — same semantics as
+    ``models/gpt.py``: one compiled block body, KFAC factors batched over
+    the stack; ``remat_blocks`` checkpoints the scanned body)."""
     B = images.shape[0]
     P = config.patch_size
     # non-overlapping patch embedding: one conv with kernel == stride
@@ -96,10 +104,27 @@ def vit_apply(params, images, *, config: ViTConfig) -> jax.Array:
     x = x.reshape(B, -1, config.n_embd)  # [B, N, D]
     cls = jnp.broadcast_to(params["cls"], (B, 1, config.n_embd))
     x = jnp.concatenate([cls, x], axis=1) + params["pos"]
-    for i in range(config.n_layer):
-        x = _block(params[f"h{i}"], x, config.n_head)
+    if "h" in params:  # scan-stacked blocks
+
+        def body(h, block_params):
+            return _block(block_params, h, config.n_head), None
+
+        if remat_blocks:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, params["h"])
+    else:
+        for i in range(config.n_layer):
+            x = _block(params[f"h{i}"], x, config.n_head)
     x = _layernorm(x, params["ln_f"])
     return x[:, 0] @ params["fc"]["W"] + params["fc"]["b"]
+
+
+def stack_vit_blocks(params, config: ViTConfig):
+    """Convert unrolled ``h0..h{n-1}`` block params to a scan-stacked ``h``."""
+    blocks = [params[f"h{i}"] for i in range(config.n_layer)]
+    stacked = {k: v for k, v in params.items() if not k.startswith("h")}
+    stacked["h"] = jax.tree.map(lambda *ls: jnp.stack(ls), *blocks)
+    return stacked
 
 
 def init_vit(key, config: ViTConfig, dtype=jnp.float32):
@@ -151,12 +176,17 @@ def cifar10_vit(
     config: ViTConfig | None = None,
     seed: int = 0,
     dtype=jnp.float32,
+    scan_blocks: bool = False,
 ) -> Problem:
-    """ViT-S/4 on synthetic CIFAR-10 (32x32x3, 10 classes)."""
+    """ViT-S/4 on synthetic CIFAR-10 (32x32x3, 10 classes).
+
+    ``scan_blocks=True`` stacks the encoder blocks into one ``lax.scan``."""
     config = config or ViTConfig()
     key = jax.random.key(seed)
     kp, kx, ky = jax.random.split(key, 3)
     params = init_vit(kp, config, dtype)
+    if scan_blocks:
+        params = stack_vit_blocks(params, config)
     X = jax.random.uniform(
         kx,
         (batch_size, config.image_size, config.image_size, config.in_channels),

@@ -175,6 +175,45 @@ def test_vit_problem_constructs():
     assert not any("cls" in k or "pos" in k or "ln" in k for k in prob.kfac_params)
 
 
+def test_vit_scan_stacked_matches_unrolled():
+    """Scan-stacked ViT blocks: same forward, and KFAC discovers the conv
+    patch embedding (unstacked) alongside the stacked dense groups."""
+    from curvlinops_tpu import CrossEntropyLoss
+    from curvlinops_tpu.models import TINY_VIT, init_vit, vit_apply
+    from curvlinops_tpu.models.vit import stack_vit_blocks
+
+    config = TINY_VIT
+    params = init_vit(jax.random.key(0), config)
+    stacked = stack_vit_blocks(params, config)
+    X = jax.random.uniform(
+        jax.random.key(1), (2, config.image_size, config.image_size, 3)
+    )
+    apply_fn = partial(vit_apply, config=config)
+    np.testing.assert_allclose(
+        np.asarray(apply_fn(params, X)),
+        np.asarray(apply_fn(stacked, X)),
+        rtol=2e-5,
+        atol=1e-6,
+    )
+
+    y = jax.random.randint(jax.random.key(2), (2,), 0, config.num_classes)
+    kfac_fn, kfac_params = kfac_restricted(apply_fn, stacked)
+    kfac = KFACLinearOperator(
+        kfac_fn,
+        CrossEntropyLoss("mean"),
+        kfac_params,
+        [(X, y)],
+        fisher_type="mc",
+        mc_samples=1,
+        check_deterministic=False,
+    )
+    stacks = {g.stack for g in kfac.groups if g.weight_path is not None}
+    assert config.n_layer in stacks  # dense block groups batched over layers
+    assert 0 in stacks  # conv patch embedding + head stay unstacked
+    v = np.random.default_rng(5).standard_normal(kfac.shape[0]).astype(np.float32)
+    assert np.isfinite(kfac @ v).all()
+
+
 def test_nanogpt_problem_constructs_tiny():
     prob = shakespeare_nanogpt(batch_size=2, config=GPTConfig(
         block_size=8, vocab_size=16, n_layer=1, n_head=2, n_embd=8
