@@ -11,6 +11,7 @@ compiled program is factor-free.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable
 
 import jax
@@ -23,6 +24,14 @@ from curvlinops_tpu.ops.eigh import EighDecomposedLinearOperator
 from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator, kron_matmat
 from curvlinops_tpu.ops.stacked import stacked_kron_matmat
 from curvlinops_tpu.utils.flatten import spec_of
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_eigh_fn(sharding):
+    # one PjitFunction per sharding: a fresh jax.jit wrapper on every call
+    # would re-trace (and re-submit remote compiles) for shapes it has
+    # already seen
+    return jax.jit(jnp.linalg.eigh, in_shardings=sharding)
 
 
 def _mesh_sharded_eigh(stacked: jax.Array, mesh, data_axis: str):
@@ -42,7 +51,7 @@ def _mesh_sharded_eigh(stacked: jax.Array, mesh, data_axis: str):
         stacked = jnp.concatenate([stacked, eye])
     sharding = NamedSharding(mesh, PartitionSpec(data_axis))
     stacked = jax.device_put(stacked, sharding)
-    w, v = jax.jit(jnp.linalg.eigh, in_shardings=sharding)(stacked)
+    w, v = _sharded_eigh_fn(sharding)(stacked)
     return (w[:n], v[:n]) if pad else (w, v)
 
 

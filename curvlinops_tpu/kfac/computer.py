@@ -295,8 +295,6 @@ class KFACComputer:
                 g = G_rows.reshape(V, B, *extra, C)
                 return jnp.moveaxis(g, -1, 2)
             return G_rows.reshape(V, *pred_shape)
-        if len(pred_shape) == 1:
-            return G_rows.reshape(V, *pred_shape)
         return G_rows.reshape(V, *pred_shape)
 
     def _make_batch_kernel(self, traced: TracedModel) -> Callable:

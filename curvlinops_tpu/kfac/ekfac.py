@@ -166,9 +166,22 @@ class EKFACComputer(KFACComputer):
                     else jnp.concatenate(g_parts, axis=2)
                 )
                 if group.input_diag:
-                    u = group.uses[0]
+                    # tied tables: g concatenated the uses along the sharing
+                    # axis, so the token indices must concatenate the same
+                    # way ([B, S_u] each -> [B, sum S_u])
+                    idx_parts = [
+                        jnp.reshape(
+                            ios[u.layer_id], (jnp.shape(ios[u.layer_id])[0], -1)
+                        )
+                        for u in group.uses
+                    ]
+                    idx = (
+                        idx_parts[0]
+                        if len(idx_parts) == 1
+                        else jnp.concatenate(idx_parts, axis=1)
+                    )
                     lam = kmath.eigenvalue_correction_embedding(
-                        g, Q_g[gi], ios[u.layer_id], group.d_in
+                        g, Q_g[gi], idx, group.d_in
                     )
                 elif group.weight_path is None:
                     lam = kmath.eigenvalue_correction(

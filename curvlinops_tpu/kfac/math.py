@@ -212,7 +212,6 @@ def extract_conv_patches(x: jax.Array, meta: dict) -> jax.Array:
     # conv_general_dilated_patches emits (C, *K) features; reorder to the
     # canonical (*K, C) layout
     S = patches.shape[1]
-    n_spatial, kernel_shape2, i_dim, _ = _conv_spatial_dims(meta)
     C = x.shape[meta["dimension_numbers"].lhs_spec[1]]
     prod_k = patches.shape[-1] // C
     patches = patches.reshape(B, S, C, prod_k)
@@ -411,17 +410,6 @@ def grad_to_sharing_format(
     if kfac_approx == KFACType.REDUCE:
         g = jnp.sum(g, axis=-2, keepdims=True)
     return g
-
-
-def input_covariance(a: jax.Array, n_data: int) -> jax.Array:
-    """``aaT = sum_{b,s} a a^T / (N_data * shared)`` (``kfac_hooks.py:388``).
-
-    Stacked inputs ``[L, B, S, d]`` give batched covariances ``[L, d, d]``.
-    """
-    shared = a.shape[-2]
-    if a.ndim == 4:
-        return jnp.einsum("lbsi,lbsj->lij", a, a) / (n_data * shared)
-    return jnp.einsum("bsi,bsj->ij", a, a) / (n_data * shared)
 
 
 def loss_correction(

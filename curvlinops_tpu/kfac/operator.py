@@ -52,14 +52,6 @@ from curvlinops_tpu.ops.blockdiag import BlockDiagonalLinearOperator
 from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator
 
 
-def _leaf_by_path(tree: Any, path: tuple):
-    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
-    for p, leaf in leaves:
-        if tuple(p) == tuple(path):
-            return leaf
-    raise KeyError(f"No leaf at path {path}.")
-
-
 def make_to_canonical(
     groups: list[ParamGroup], params: Any
 ) -> tuple[Callable[[Any], tuple], Callable[[tuple], Any]]:
@@ -276,7 +268,17 @@ class KFACLinearOperator(KroneckerChainOperator):
         The result is again a single-dispatch jitted chain; plain/heuristic
         damping inverts the Kronecker factors (Cholesky, fp64 retry), exact
         damping eigendecomposes them and inverts ``kron(eigvals) + delta``.
+
+        Raises:
+            ValueError: When both heuristic and exact damping are requested
+                (same guard as the reference's ``kronecker.py:283`` — the
+                exact-damping branch would otherwise silently ignore the
+                heuristic request).
         """
+        if use_heuristic_damping and use_exact_damping:
+            raise ValueError(
+                "Choose either heuristic or exact damping, not both."
+            )
         blocks_data = {}
         if use_exact_damping:
             # batch all factor eigendecompositions by shape (one vmapped

@@ -39,9 +39,12 @@ def _normalize_conv_geometry(x_shape, meta) -> dict | None:
         return None
     if meta["feature_group_count"] != 1 or meta["batch_group_count"] != 1:
         return None
+    if any(p < 0 for pair in meta["padding"] for p in pair):
+        # cropping (negative padding) can't be expressed by the kernel's
+        # jnp.pad pre-step; the XLA patches path handles it natively
+        return None
     b_dim, c_dim = dn.lhs_spec[0], dn.lhs_spec[1]
     spatial = dn.lhs_spec[2:]
-    rhs_spec = meta["w_shape"], meta["dimension_numbers"].rhs_spec
     kh, kw = (meta["w_shape"][d] for d in dn.rhs_spec[2:])
     (ph0, ph1), (pw0, pw1) = meta["padding"]
     sh, sw = meta["window_strides"]
@@ -89,8 +92,10 @@ def conv_input_covariance(
         interpret: Run the kernel in interpreter mode (CPU testing).
 
     Returns:
-        ``(cov [d, d], S)`` with ``d = C*KH*KW (+1)`` in the canonical
-        ``(C, KH, KW)`` feature order and ``S = Ho*Wo`` sharing positions.
+        ``(cov [d, d], S)`` with ``d = KH*KW*C (+1)`` in the canonical
+        kernel-offset-major, channel-minor ``(KH, KW, C)`` feature order
+        (matching ``canonical_conv_weight`` / ``extract_conv_patches``) and
+        ``S = Ho*Wo`` sharing positions.
     """
     geo = _normalize_conv_geometry(x.shape, meta)
     if geo is None:

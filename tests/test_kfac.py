@@ -421,6 +421,51 @@ def _pallas_conv_case():
                 params=params, data=[(X, y)])
 
 
+def test_pallas_gate_refuses_negative_padding():
+    """Cropping convs can't go through the Pallas kernel's jnp.pad pre-step;
+    the gate must route them to the XLA patches path instead of crashing."""
+    from curvlinops_tpu.kfac.collector import TracedModel
+    from curvlinops_tpu.kfac.pallas_kernels import pallas_conv_cov_supported
+
+    case = _pallas_conv_case()
+
+    def cropping_model(p, x):
+        z = jax.lax.conv_general_dilated(
+            x, p["conv1"]["W"], (1, 1), ((-1, 0), (0, -1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        z = jax.nn.relu(z + p["conv1"]["b"])
+        return jnp.mean(z, axis=(1, 2)) @ p["dense"]["W"]
+
+    X = case["data"][0][0]
+    tm = TracedModel(cropping_model, case["params"], X)
+    conv_use = [u for u in tm.layers if u.kind == "conv"][0]
+    assert not pallas_conv_cov_supported(X.shape, conv_use.meta, None)
+    # and the full build still works through the XLA path
+    kfac = KFACLinearOperator(
+        cropping_model, case["loss_fn"], case["params"],
+        [(X, case["data"][0][1])],
+        fisher_type=FisherType.TYPE2, use_pallas=True,
+        check_deterministic=False,
+    )
+    v = np.random.default_rng(9).standard_normal(kfac.shape[0]).astype(np.float32)
+    assert np.isfinite(kfac @ v).all()
+
+
+def test_kfac_inverse_rejects_conflicting_damping_flags():
+    """Heuristic + exact damping together must raise (reference
+    ``kronecker.py:283``), not silently return exact damping."""
+    case = make_case("mlp_ce_mean")
+    kfac = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        fisher_type=FisherType.TYPE2, check_deterministic=False,
+    )
+    with pytest.raises(ValueError, match="not both"):
+        kfac.inverse(
+            damping=0.1, use_heuristic_damping=True, use_exact_damping=True
+        )
+
+
 def test_kfac_pallas_conv_covariance_matches_xla():
     """The fused Pallas patch-covariance path equals the XLA patches path."""
     from curvlinops_tpu.kfac.pallas_kernels import pallas_conv_cov_supported

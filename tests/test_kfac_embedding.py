@@ -247,6 +247,48 @@ def test_embedding_ekfac_closer_than_kfac():
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(r))
 
 
+def test_tied_embedding_ekfac_equals_onehot_dense():
+    """One table, TWO lookups: the EKFAC correction must concatenate each
+    use's token indices along the sharing axis exactly as the gradients are
+    concatenated. Oracle: the tied-dense one-hot model."""
+    from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
+
+    params = _params()
+
+    def tied_emb_model(p, tokens):
+        h = p["emb"][tokens] + 0.5 * p["emb"][jnp.roll(tokens, 1, axis=1)]
+        h = jnp.tanh(h)
+        return (h @ p["head"]["W"] + p["head"]["b"]).reshape(
+            tokens.shape[0] * tokens.shape[1], D_OUT
+        )
+
+    def tied_onehot_model(p, x_onehot):
+        rolled = jnp.roll(x_onehot, 1, axis=1)
+        h = x_onehot @ p["emb"] + 0.5 * (rolled @ p["emb"])
+        h = jnp.tanh(h)
+        return (h @ p["head"]["W"] + p["head"]["b"]).reshape(
+            x_onehot.shape[0] * x_onehot.shape[1], D_OUT
+        )
+
+    tokens, y = _data()
+    onehot = jax.nn.one_hot(tokens, V)
+    loss = CrossEntropyLoss("mean")
+    kw = dict(fisher_type=FisherType.TYPE2, check_deterministic=False)
+    e_emb = EKFACLinearOperator(
+        tied_emb_model, loss, params, [(tokens, y)], **kw
+    )
+    e_dense = EKFACLinearOperator(
+        tied_onehot_model, loss, params, [(onehot, y)], **kw
+    )
+    report_nonclose(
+        np.asarray(e_emb.todense()),
+        np.asarray(e_dense.todense()),
+        rtol=1e-4,
+        atol=1e-6,
+        name="tied embedding EKFAC vs one-hot dense",
+    )
+
+
 def test_embedding_refusals():
     """REDUCE, EKFAC, KFOC, embedding+head tying, and biased lookups refuse."""
     from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
