@@ -271,12 +271,20 @@ class LinearOperator:
     def __mul__(self, scalar) -> "LinearOperator":
         if not isinstance(scalar, (int, float, complex, jax.Array, np.ndarray)):
             return NotImplemented
+        if isinstance(scalar, (jax.Array, np.ndarray)) and jnp.ndim(scalar):
+            # a non-0d array would broadcast against every leaf's column
+            # axis — a silently wrong (and no longer self-adjoint) operator
+            raise ValueError(
+                f"Operator scaling requires a scalar, got an array of shape "
+                f"{jnp.shape(scalar)}. Use DiagonalLinearOperator @ op for "
+                "elementwise scaling."
+            )
         return ScaledLinearOperator(self, scalar)
 
     __rmul__ = __mul__
 
     def __truediv__(self, scalar) -> "LinearOperator":
-        return ScaledLinearOperator(self, 1.0 / scalar)
+        return self.__mul__(1.0 / scalar)
 
     def __neg__(self) -> "LinearOperator":
         return ScaledLinearOperator(self, -1.0)

@@ -37,6 +37,7 @@ class EighDecomposedLinearOperator(LinearOperator):
         super().__init__(jax.ShapeDtypeStruct((n,), eigenvalues.dtype))
         self._eigenvalues = eigenvalues
         self._Q = Q
+        self._Q_adj = None  # lazily cached operator adjoint (see _matmat)
 
     @property
     def eigenvalues(self) -> jax.Array:
@@ -60,7 +61,12 @@ class EighDecomposedLinearOperator(LinearOperator):
 
     def _matmat(self, M: jax.Array) -> jax.Array:
         if isinstance(self._Q, LinearOperator):
-            W = self._Q.adjoint()._matmat(M)
+            # cache the adjoint: for a Kronecker Q (the EKFAC case) every
+            # adjoint() call would re-materialize conj-transposed copies of
+            # all eigenvector factors
+            if self._Q_adj is None:
+                self._Q_adj = self._Q.adjoint()
+            W = self._Q_adj._matmat(M)
             W = self._eigenvalues[:, None] * W
             return self._Q._matmat(W)
         W = self._Q.conj().T @ M

@@ -276,11 +276,17 @@ class NeumannInverseLinearOperator(LinearOperator):
         result, flag, first_bad = cached_program(self, key, build)(
             M, jnp.asarray(self._scale, self.dtype), argsA, argsP
         )
-        if self._check_nan and bool(flag):
-            raise ValueError(
-                f"Neumann series diverged (NaN at term {int(first_bad)}); "
-                "decrease `scale` or the spectral radius of I - scale*A."
-            )
+        if self._check_nan and not isinstance(flag, jax.core.Tracer):
+            # The host-side divergence check only runs at the eager edge.
+            # When this operator is itself being traced (as a CG/LSMR
+            # preconditioner, through traced()/fast_lanczos/topk_eigenpairs)
+            # the flag is a tracer and cannot be read; divergence then
+            # propagates as NaNs to the consumer instead of raising here.
+            if bool(flag):
+                raise ValueError(
+                    f"Neumann series diverged (NaN at term {int(first_bad)}); "
+                    "decrease `scale` or the spectral radius of I - scale*A."
+                )
         return result
 
     def _adjoint(self) -> LinearOperator:

@@ -140,12 +140,17 @@ class KroneckerProductLinearOperator(LinearOperator):
         return out
 
     def logdet(self) -> jax.Array:
-        """``logdet = sum_i (N / n_i) logdet(S_i)`` (square factors)."""
+        """``logdet = sum_i (N / n_i) logdet(S_i)`` (square factors).
+
+        Per-factor ``logdet`` like the reference (``kronecker.py:226-238``,
+        ``torch.logdet``): a factor with non-positive determinant yields NaN
+        — never a plausible-looking ``log|det|``."""
         self._ensure_square()
         N = self.shape[0]
         out = None
         for S in self._factors:
-            term = (N // S.shape[0]) * jnp.linalg.slogdet(S)[1]
+            sign, ld = jnp.linalg.slogdet(S)
+            term = (N // S.shape[0]) * jnp.where(sign > 0, ld, jnp.nan)
             out = term if out is None else out + term
         return out
 
@@ -273,7 +278,8 @@ class EmbeddingKroneckerOperator(LinearOperator):
         """``V logdet(G) + C sum(log d)``."""
         self._ensure_square()
         V, C = self._d.shape[0], self._G.shape[0]
-        _, ld = jnp.linalg.slogdet(self._G)
+        sign, ld = jnp.linalg.slogdet(self._G)
+        ld = jnp.where(sign > 0, ld, jnp.nan)  # torch.logdet semantics
         return V * ld + C * jnp.sum(jnp.log(self._d))
 
     def frobenius_norm(self) -> jax.Array:

@@ -98,7 +98,8 @@ class StackedKroneckerOperator(LinearOperator):
         N = math.prod(S.shape[1] for S in self._factors)
         out = jnp.zeros((), self.dtype)
         for S in self._factors:
-            _, ld = jnp.linalg.slogdet(S)
+            sign, ld = jnp.linalg.slogdet(S)
+            ld = jnp.where(sign > 0, ld, jnp.nan)  # torch.logdet semantics
             out = out + (N // S.shape[1]) * jnp.sum(ld)
         return out
 

@@ -491,7 +491,16 @@ class EmpiricalRiskOperator(LinearOperator):
             if mode == "scan":
 
                 def fused(frozen, params, data, cs):
-                    init = (jnp.zeros((), self.dtype),
+                    # carry dtype must be the LOSS's dtype, not the parameter
+                    # dtype: a bf16 model computing its scalar loss in f32
+                    # would otherwise fail the scan's carry-type check (the
+                    # streaming/unroll paths accumulate via Python + and
+                    # don't care)
+                    X0, y0 = jax.tree.map(lambda a: a[0], data)
+                    loss_sd, _ = jax.eval_shape(
+                        batch_grad_loss, frozen, params, X0, y0, cs[0]
+                    )
+                    init = (jnp.zeros((), loss_sd.dtype),
                             jax.tree.map(jnp.zeros_like, params))
 
                     def body(acc, xs):

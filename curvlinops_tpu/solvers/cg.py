@@ -53,8 +53,9 @@ def batched_cg(
         preconditioner: Traceable approximate inverse of A.
 
     Returns:
-        ``(X, info)`` where ``info`` has per-column iteration counts and final
-        residual norms.
+        ``(X, info)`` where ``info`` has the global iteration count (a
+        scalar: iterations until EVERY column converged or the cap) and the
+        per-column final residual norms.
     """
     M = preconditioner or (lambda r: r)
     X0 = x0 if x0 is not None else jax.tree.map(jnp.zeros_like, B)

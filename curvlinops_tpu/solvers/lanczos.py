@@ -113,7 +113,7 @@ def fast_lanczos(
 
 
 def lanczos_extreme_eigenvalues(
-    A, num_iters: int = 32, key: jax.Array | None = None
+    A, num_iters: int = 32, key: jax.Array | None = None, power: int = 1
 ) -> tuple[jax.Array, jax.Array]:
     """Extremal eigenvalue estimates via Lanczos WITH full reorthogonalization.
 
@@ -122,15 +122,25 @@ def lanczos_extreme_eigenvalues(
     Krylov space converge rapidly for the boundary estimates the spectral
     densities need (the reference uses ``tol=1e-2`` there anyway).
 
+    ``power=2`` runs the recurrence on ``A^2`` (two operator applications
+    per step): its extremal Ritz values estimate the squared LARGEST- and
+    SMALLEST-MAGNITUDE eigenvalues of ``A`` — the ``which='LM'/'SM'`` pair
+    ``approximate_boundaries_abs`` needs for indefinite spectra.
+
     Returns:
-        ``(lambda_min, lambda_max)`` estimates.
+        ``(lambda_min, lambda_max)`` estimates (of ``A^power``).
     """
     key = key if key is not None else jax.random.key(0)
     dim = A.shape[1]
     ncv = min(num_iters, dim)
     dtype = A.dtype
     v0 = jax.random.normal(key, (dim,), dtype)
-    mv, consts = _flat_matvec(A)
+    mv1, consts = _flat_matvec(A)
+
+    def mv(v, consts):
+        for _ in range(power):
+            v = mv1(v, consts)
+        return v
 
     def loop(v0, consts):
         v = v0 / jnp.linalg.norm(v0)
@@ -165,7 +175,7 @@ def lanczos_extreme_eigenvalues(
         return ritz[0], ritz[-1]
 
     program = _cached_program(
-        A, ("lanczos_extreme", ncv), lambda: jax.jit(loop)
+        A, ("lanczos_extreme", ncv, power), lambda: jax.jit(loop)
     )
     return program(v0, consts)
 
@@ -189,14 +199,24 @@ def approximate_boundaries(
 def approximate_boundaries_abs(
     A, tol: float = 1e-2, boundaries=None, key: jax.Array | None = None
 ) -> tuple[float, float]:
-    """Estimate ``(lambda_min, lambda_max)`` of ``|A|``."""
+    """Estimate ``(lambda_min, lambda_max)`` of ``|A|``.
+
+    Runs Lanczos on ``A^2``: its extremal Ritz values estimate the squared
+    largest- and SMALLEST-MAGNITUDE eigenvalues of ``A`` — the reference's
+    ``eigsh(which='LM')`` / ``which='SM'`` pair (``spectrum.py:513-543``).
+    ``min(|lambda_min|, |lambda_max|)`` of the SIGNED extremes would be
+    wrong for indefinite spectra (an NN Hessian straddling zero has
+    ``lambda_min(|A|)`` near 0, not near the magnitude of either extreme),
+    windowing the log-density grid away from the spectral bulk.
+    """
     if boundaries is not None and None not in boundaries:
         return boundaries
     num_iters = max(8, int(4 / math.sqrt(tol)))
-    lo, hi = lanczos_extreme_eigenvalues(A, num_iters=num_iters, key=key)
-    cands = jnp.abs(jnp.asarray([lo, hi]))
-    est_hi = float(jnp.max(cands))
-    est_lo = float(jnp.min(cands))
+    lo2, hi2 = lanczos_extreme_eigenvalues(
+        A, num_iters=num_iters, key=key, power=2
+    )
+    est_lo = float(jnp.sqrt(jnp.maximum(lo2, 0.0)))
+    est_hi = float(jnp.sqrt(jnp.maximum(hi2, 0.0)))
     if boundaries is not None:
         given_lo, given_hi = boundaries
         est_lo = est_lo if given_lo is None else given_lo

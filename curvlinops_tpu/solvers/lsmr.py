@@ -91,9 +91,15 @@ def batched_lsmr(
         normA2, normr, normar, jnp.asarray(0),
     )
 
-    def converged(normr, normar, normA2):
+    def converged(X, normr, normar, normA2):
+        # Fong & Saunders / scipy stopping rules:
+        #   S1: normr  <= btol*normb + atol*normA*normx   (residual)
+        #   S2: normar <= atol*normA*normr                (normal equations)
+        # normx is the CURRENT solution norm — substituting normr here made
+        # any operator with normA >= 1/atol "converge" at iteration 0.
         normA = jnp.sqrt(normA2)
-        test1 = normr <= btol * normb + atol * normA * _maxed(normr)
+        normx = _col_norm(X)
+        test1 = normr <= btol * normb + atol * normA * normx
         test2 = normar <= atol * normA * _maxed(normr)
         return jnp.logical_or(test1, test2)
 
@@ -101,9 +107,12 @@ def batched_lsmr(
         return jnp.maximum(x, eps)
 
     def cond(state):
-        normA2, normr, normar, k = state[20], state[21], state[22], state[23]
+        X, normA2, normr, normar, k = (
+            state[0], state[20], state[21], state[22], state[23]
+        )
         return jnp.logical_and(
-            k < maxiter, jnp.logical_not(jnp.all(converged(normr, normar, normA2)))
+            k < maxiter,
+            jnp.logical_not(jnp.all(converged(X, normr, normar, normA2))),
         )
 
     def body(state):
@@ -112,7 +121,7 @@ def batched_lsmr(
          betadd, betad, rhodold, tautildeold, thetatilde, zeta, d,
          normA2, normr, normar, k) = state
 
-        active = jnp.logical_not(converged(normr, normar, normA2))
+        active = jnp.logical_not(converged(X, normr, normar, normA2))
 
         # Golub-Kahan bidiagonalization step
         u = jax.tree.map(lambda av, ul: av - alpha * ul, matvec(v), u)

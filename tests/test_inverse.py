@@ -169,3 +169,27 @@ def test_kfac_ekfac_exact_preconditioners_for_cg_and_neumann():
         )
         report_nonclose(neumann.todense(), inv_naive, rtol=1e-4, atol=1e-5,
                         name=f"neumann+{name}")
+
+
+def test_lsmr_large_norm_operator_converges():
+    """Stopping rule S1 uses the SOLUTION norm (Fong-Saunders): an operator
+    with ||A|| >= 1/atol must not 'converge' at iteration 0 with X=0."""
+    from curvlinops_tpu.solvers.lsmr import batched_lsmr
+
+    A = 2e6 * jnp.eye(8)
+    b = jnp.ones((8, 1))
+    X, info = batched_lsmr(lambda v: A @ v, lambda v: A.T @ v, b, maxiter=50)
+    assert int(info["iterations"]) >= 1
+    np.testing.assert_allclose(np.asarray(X), np.asarray(b) / 2e6, rtol=1e-6)
+
+
+def test_neumann_composes_under_trace():
+    """Neumann with check_nan=True (the default) must be traceable — e.g. as
+    a CG preconditioner, where its host-side NaN check cannot run."""
+    P = NeumannInverseLinearOperator(
+        MatrixLinearOperator(jnp.eye(6)), num_terms=5, scale=1.0
+    )
+    sym = MatrixLinearOperator(2.0 * jnp.eye(6))
+    cg = CGInverseLinearOperator(sym, preconditioner=P, maxiter=50, tol=1e-10)
+    v = np.ones(6, dtype=np.float32)
+    np.testing.assert_allclose(cg @ v, v / 2.0, rtol=1e-5)

@@ -135,3 +135,13 @@ def test_shape_mismatch_raises():
         _ = op1 + op2
     with pytest.raises(ValueError):
         op1 @ np.ones(7)
+
+
+def test_scalar_multiply_rejects_arrays():
+    """Non-0d 'scalars' would broadcast against the column axis — refuse."""
+    op = MatrixLinearOperator(jnp.eye(4))
+    assert np.allclose((jnp.float32(2.0) * op) @ np.ones(4), 2 * np.ones(4))
+    with pytest.raises(ValueError, match="scalar"):
+        jnp.asarray([1.0, 2.0]) * op
+    with pytest.raises(ValueError, match="scalar"):
+        op / np.asarray([1.0, 2.0])

@@ -93,3 +93,14 @@ def test_topk_eigenpairs(spd_op):
     # eigenvector residuals
     R = np.asarray(M) @ np.asarray(evecs) - np.asarray(evecs) * np.asarray(evals)
     assert np.abs(R).max() < 1e-2
+
+
+def test_boundaries_abs_indefinite_spectrum():
+    """lambda_min(|A|) is the smallest-MAGNITUDE eigenvalue (reference
+    eigsh(which='SM')) — for a spectrum straddling zero it sits near 0, not
+    at min(|extremes|)."""
+    d = jnp.asarray([-5.0, -1.0, 0.01, 0.5, 3.0, 10.0])
+    op = MatrixLinearOperator(jnp.diag(d))
+    lo, hi = approximate_boundaries_abs(op)
+    assert abs(hi - 10.0) < 0.5
+    assert lo < 0.1  # the old min(|lo|,|hi|) returned 5.0

@@ -243,3 +243,18 @@ class TestStackedKronecker:
             for l in range(2)
         )
         assert abs(float(op.trace()) - tr) < 1e-4 * abs(tr)
+
+
+def test_kronecker_logdet_nan_for_negative_det_factor():
+    """torch.logdet semantics (reference kronecker.py:226): a factor with
+    negative determinant yields NaN, never a plausible log|det|."""
+    import curvlinops_tpu as cl
+
+    neg = jnp.diag(jnp.asarray([-1.0, 2.0]))  # det < 0
+    pos = jnp.diag(jnp.asarray([3.0, 4.0]))
+    K = cl.KroneckerProductLinearOperator(neg, pos)
+    assert bool(jnp.isnan(K.logdet()))
+    K2 = cl.KroneckerProductLinearOperator(pos, pos)
+    # logdet(A (x) B) = n_B logdet(A) + n_A logdet(B)
+    expect = 4 * float(jnp.log(jnp.linalg.det(pos)))
+    np.testing.assert_allclose(float(K2.logdet()), expect, rtol=1e-6)
