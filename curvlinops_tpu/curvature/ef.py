@@ -62,7 +62,9 @@ def make_row_grad(loss_fn) -> Callable:
     def row_loss(f_row: jax.Array, y_row) -> jax.Array:
         """Unreduced loss of one flattened row (sum over its C features)."""
         if isinstance(loss_fn, CrossEntropyLoss):
-            return CrossEntropyLoss("sum")(f_row[None], y_row[None])
+            return CrossEntropyLoss("sum", loss_fn.ignore_index)(
+                f_row[None], y_row[None]
+            )
         if isinstance(loss_fn, MSELoss):
             return jnp.sum((f_row - y_row) ** 2)
         x = f_row
@@ -93,7 +95,14 @@ def make_batch_ef_matmat(
         L, C = pred_flat.shape
         R = 1.0
         if loss_fn.reduction == "mean":
-            R = float(L) if isinstance(loss_fn, CrossEntropyLoss) else float(L * C)
+            if isinstance(loss_fn, CrossEntropyLoss):
+                # the mean divides by the NON-ignored loss-term count
+                # (== L when no targets are padded)
+                R = jnp.maximum(
+                    jnp.sum(y_flat != loss_fn.ignore_index), 1
+                ).astype(pred_flat.dtype)
+            else:
+                R = float(L * C)
 
         def efvp(v: Any) -> Any:
             jv = jvp_fn(v)

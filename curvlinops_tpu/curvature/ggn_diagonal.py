@@ -54,7 +54,18 @@ def make_batch_ggn_diagonal(
 
 
 class GGNDiagonalLinearOperator(DiagonalLinearOperator):
-    """The diagonal of the GGN, materialized once and applied elementwise."""
+    """The diagonal of the GGN, materialized once and applied elementwise.
+
+    Construction delegates the dataset plumbing — the two-pass data
+    determinism probe, ``num_data`` inference, normalization factors,
+    per-batch key folding, and mesh batch placement — to an internal
+    :class:`~curvlinops_tpu.curvature.ggn.GGNLinearOperator` so the
+    conventions can never diverge from the risk layer (the reference's
+    computer likewise runs ``super()._check_deterministic()``,
+    ``computers/ggn_diagonal.py:194-203``). The vmap-compatibility probe
+    (batched forward == vmapped per-example forward) is diagonal-specific
+    and stays here.
+    """
 
     def __init__(
         self,
@@ -70,40 +81,40 @@ class GGNDiagonalLinearOperator(DiagonalLinearOperator):
         check_deterministic: bool = True,
         mesh=None,
         data_axis: str = "data",
+        progressbar: bool = False,
     ):
-        batch_size_fn = batch_size_fn or default_batch_size
-        if num_data is None:
-            num_data = sum(batch_size_fn(X) for X, _ in data)
+        from curvlinops_tpu.curvature.ggn import GGNLinearOperator
 
+        helper = GGNLinearOperator(
+            model_fn, loss_fn, params, data,
+            mc_samples=mc_samples, seed=seed, batch_size_fn=batch_size_fn,
+            num_data=num_data, check_deterministic=check_deterministic,
+            mesh=mesh, data_axis=data_axis, progressbar=progressbar,
+        )
         if check_deterministic:
             self._check_vmap_compatible(model_fn, params, data)
 
         frozen, raw = unwrap_model_fn(model_fn)
 
         def outer(frozen, params, X, y, c, key):
+            # `frozen` is a traced jit ARGUMENT here; the inner closure
+            # captures the tracer, not the arrays — no HLO constants
             inner = make_batch_ggn_diagonal(
                 lambda p, x: raw(frozen, p, x), loss_fn, mc_samples
             )
             return inner(params, X, y, c, key)
 
         jitted = jax.jit(outer)
-        kernel = lambda *args: jitted(frozen, *args)  # noqa: E731
         base_key = jax.random.key(seed)
-        run_params = params
-        if mesh is not None:
-            from curvlinops_tpu.parallel.mesh import replicate
-
-            run_params = replicate(params, mesh)
+        run_params = helper._replicate(params)
         diag = None
-        for idx, (X, y) in enumerate(data):
-            c = {"sum": 1.0, "mean": batch_size_fn(X) / num_data}[loss_fn.reduction]
-            if mesh is not None:
-                from curvlinops_tpu.parallel.mesh import shard_batch
-
-                X = shard_batch(X, mesh, data_axis)
-                y = shard_batch(y, mesh, data_axis)
-            out = kernel(
-                run_params, X, y, jnp.float32(c), jax.random.fold_in(base_key, idx)
+        for idx, (X, y) in enumerate(
+            helper._loop_over_data(desc="ggn_diagonal" if progressbar else None)
+        ):
+            c = helper._get_normalization_factor(X, y)
+            out = jitted(
+                frozen, run_params, X, y, jnp.asarray(c, jnp.float32),
+                jax.random.fold_in(base_key, idx),
             )
             diag = out if diag is None else tree_add(diag, out)
         if diag is None:
@@ -120,23 +131,28 @@ class GGNDiagonalLinearOperator(DiagonalLinearOperator):
     def _check_vmap_compatible(model_fn, params, data) -> None:
         """``f(X) == vmap(f per-datum)(X)`` probe (``_checks.py:163-194``).
 
+        The frozen pytree threads through as a jit ARGUMENT (closing over
+        ``model_fn`` would embed a ``FrozenModelFn``'s arrays as HLO
+        constants — the remote compile service rejects >~100MB bodies).
+
         Raises:
             RuntimeError: If the model treats batched and per-example inputs
                 differently (e.g. BatchNorm in train mode).
         """
         X0, _ = next(iter(data))
+        frozen, raw = unwrap_model_fn(model_fn)
 
         @jax.jit
-        def both(p, X):
-            batched = model_fn(p, X)
+        def both(frozen, p, X):
+            batched = raw(frozen, p, X)
 
             def single(x_n):
                 x1 = jax.tree.map(lambda leaf: leaf[None], x_n)
-                return model_fn(p, x1)[0]
+                return raw(frozen, p, x1)[0]
 
             return batched, jax.vmap(single)(X)
 
-        a, b = both(params, X0)
+        a, b = both(frozen, params, X0)
         if not np.allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6):
             raise RuntimeError(
                 "Model is not vmap-compatible: batched forward differs from "

@@ -40,10 +40,7 @@ from curvlinops_tpu.utils.flatten import tree_scale, vmap_columns
 from curvlinops_tpu.utils.misc import unwrap_model_fn
 
 
-def _struct_of(tree: Any) -> Any:
-    return jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), tree
-    )
+from curvlinops_tpu.utils.flatten import spec_of as _struct_of  # noqa: E402
 
 
 def _split_linearize(f: Callable, params: Any, p_struct: Any, holder: dict):
@@ -178,27 +175,34 @@ def _ef_kernels(op, raw: Callable, holder: dict):
     row_grad = make_row_grad(loss_fn)
 
     def build(frozen, params, X, y, key):
+        from curvlinops_tpu.losses import CrossEntropyLoss
+
         pred_flat, consts = _split_linearize(
             lambda p: flatten_prediction(loss_fn, raw(frozen, p, X)),
             params,
             p_struct,
             holder,
         )
-        G = row_grad(jax.lax.stop_gradient(pred_flat), flatten_target(loss_fn, y))
-        return {"consts": consts, "G": G}
+        y_flat = flatten_target(loss_fn, y)
+        G = row_grad(jax.lax.stop_gradient(pred_flat), y_flat)
+        L, C = G.shape
+        if loss_fn.reduction != "mean":
+            R = jnp.asarray(1.0, G.dtype)
+        elif isinstance(loss_fn, CrossEntropyLoss):
+            # the mean divides by the NON-ignored loss-term count
+            R = jnp.maximum(
+                jnp.sum(y_flat != loss_fn.ignore_index), 1
+            ).astype(G.dtype)
+        else:
+            R = jnp.asarray(float(L * C), G.dtype)
+        return {"consts": consts, "G": G, "R": R}
 
     def make_apply():
-        from curvlinops_tpu.losses import CrossEntropyLoss
-
         lin = holder["lin"]
-        mean = loss_fn.reduction == "mean"
-        ce = isinstance(loss_fn, CrossEntropyLoss)
 
         def apply(state, M, c):
             c = c.astype(jax.tree.leaves(M)[0].dtype)
-            consts, G = state["consts"], state["G"]
-            L, C = G.shape
-            R = (float(L) if ce else float(L * C)) if mean else 1.0
+            consts, G, R = state["consts"], state["G"], state["R"]
             jvp = lambda v: lin(v, *consts)  # noqa: E731
             vjp = jax.linear_transpose(jvp, p_struct)
 
@@ -226,13 +230,15 @@ def _jacobian_kernels(op, raw: Callable, holder: dict):
         )
         return {"consts": consts}
 
+    maxcols = op._max_vmap_columns
+
     def make_apply():
         lin = holder["lin"]
 
         def apply(state, M, c):
             consts = state["consts"]
             jvp = lambda v: lin(v, *consts)  # noqa: E731
-            return jax.vmap(jvp, in_axes=-1, out_axes=-1)(M)
+            return vmap_columns(jvp, M, maxcols)
 
         return apply
 
@@ -249,6 +255,8 @@ def _jacobian_t_kernels(op, raw: Callable, holder: dict):
         )
         return {"consts": consts}
 
+    maxcols = op._max_vmap_columns
+
     def make_apply():
         lin = holder["lin"]
 
@@ -260,7 +268,7 @@ def _jacobian_t_kernels(op, raw: Callable, holder: dict):
             def vjp_one(w):
                 return vjp(w)[0]
 
-            return jax.vmap(vjp_one, in_axes=-1, out_axes=-1)(W)
+            return vmap_columns(vjp_one, W, maxcols)
 
         return apply
 

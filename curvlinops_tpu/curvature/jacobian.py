@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from curvlinops_tpu.risk import EmpiricalRiskOperator
-from curvlinops_tpu.utils.flatten import tree_add
+from curvlinops_tpu.utils.flatten import tree_add, vmap_columns
 from curvlinops_tpu.utils.misc import unwrap_model_fn
 
 
@@ -52,6 +52,8 @@ class JacobianLinearOperator(EmpiricalRiskOperator):
         if "matmat" not in self._batch_fn_cache:
             frozen, raw = unwrap_model_fn(self._model_fn)
 
+            maxcols = self._max_vmap_columns
+
             @jax.jit
             def batch_matmat(frozen, params, X, M):
                 def jvp_one(v):
@@ -59,7 +61,7 @@ class JacobianLinearOperator(EmpiricalRiskOperator):
                         lambda p: raw(frozen, p, X), (params,), (v,)
                     )[1]
 
-                return jax.vmap(jvp_one, in_axes=-1, out_axes=-1)(M)
+                return vmap_columns(jvp_one, M, maxcols)
 
             self._batch_fn_cache["matmat"] = (
                 lambda *args: batch_matmat(frozen, *args)
@@ -112,6 +114,8 @@ class TransposedJacobianLinearOperator(EmpiricalRiskOperator):
         if "matmat" not in self._batch_fn_cache:
             frozen, raw = unwrap_model_fn(self._model_fn)
 
+            maxcols = self._max_vmap_columns
+
             @jax.jit
             def batch_matmat(frozen, params, X, W):
                 # pull back rows W ([B, *out, K]) through the batch Jacobian
@@ -120,7 +124,7 @@ class TransposedJacobianLinearOperator(EmpiricalRiskOperator):
                 def vjp_one(w):
                     return vjp_fn(w)[0]
 
-                return jax.vmap(vjp_one, in_axes=-1, out_axes=-1)(W)
+                return vmap_columns(vjp_one, W, maxcols)
 
             self._batch_fn_cache["matmat"] = (
                 lambda *args: batch_matmat(frozen, *args)

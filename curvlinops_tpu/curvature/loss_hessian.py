@@ -97,6 +97,9 @@ def loss_hessian_sqrt_columns(
             return math.sqrt(c) * (jnp.diag(p_sqrt) - jnp.outer(p_sqrt, p_t)).T
 
         S = jax.vmap(per_position, in_axes=1)(p)  # [D, C_row, C_col]
+        # ignored positions (target == ignore_index) have zero loss Hessian
+        mask = (target != loss_fn.ignore_index).reshape(-1)
+        S = S * mask[:, None, None].astype(output.dtype)
         # Column (c2, t2) has support only at position t2:
         # G[v=(c2, t2), c, t] = S_t[c, c2] * delta(t, t2)
         eye_D = jnp.eye(D, dtype=output.dtype)
@@ -137,6 +140,9 @@ def sample_grad_outputs(
         )  # [M, D] class indices
         onehot = jax.nn.one_hot(draws, C, dtype=output.dtype)  # [M, D, C]
         g = math.sqrt(c) * (p.T[None] - onehot)  # [M, D, C]
+        # ignored positions (target == ignore_index) have zero loss Hessian
+        mask = (target != loss_fn.ignore_index).reshape(-1)
+        g = g * mask[None, :, None].astype(output.dtype)
         return jnp.moveaxis(g, -1, 1).reshape(num_samples, *shape)
 
     raise NotImplementedError(f"Loss {type(loss_fn).__name__} not supported.")

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from curvlinops_tpu.estimators.sampling import random_matrix
+from curvlinops_tpu.estimators.sampling import next_default_key, random_matrix
 from curvlinops_tpu.estimators.trace import _check_matvecs, _check_square
 
 
@@ -23,7 +23,7 @@ def hutchinson_diag(
     """``diag(A) ~ 1/N sum v (.) A v`` in one blocked matmat."""
     dim = _check_square(A)
     _check_matvecs(dim, num_matvecs, 1)
-    key = key if key is not None else jax.random.key(0)
+    key = next_default_key(key)
     G = random_matrix(key, dim, num_matvecs, distribution, A.dtype)
     return jnp.einsum("ij,ij->i", G, A @ G) / num_matvecs
 
@@ -33,7 +33,7 @@ def xdiag(A, num_matvecs: int, key: jax.Array | None = None) -> jax.Array:
     dim = _check_square(A)
     _check_matvecs(dim, num_matvecs, 2)
     m = num_matvecs // 2
-    key = key if key is not None else jax.random.key(0)
+    key = next_default_key(key)
     W = random_matrix(key, dim, m, "rademacher", A.dtype)
     A_W = A @ W
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from curvlinops_tpu.estimators.sampling import random_matrix
+from curvlinops_tpu.estimators.sampling import next_default_key, random_matrix
 
 
 def hutchinson_squared_fro(
@@ -27,9 +27,10 @@ def hutchinson_squared_fro(
             f"dimension of {A.shape}."
         )
     if rows < cols:
-        A = A.adjoint()
+        # plain arrays have no .adjoint (unlike torch Tensors)
+        A = A.adjoint() if hasattr(A, "adjoint") else jnp.asarray(A).T.conj()
         rows, cols = cols, rows
-    key = key if key is not None else jax.random.key(0)
+    key = next_default_key(key)
     G = random_matrix(key, cols, num_matvecs, distribution, A.dtype)
     AG = A @ G
     return jnp.sum(AG**2) / num_matvecs

@@ -30,6 +30,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from curvlinops_tpu.estimators.sampling import next_default_key
 from curvlinops_tpu.estimators.trace import _check_square
 from curvlinops_tpu.solvers.lanczos import (
     _cached_program,
@@ -67,7 +68,7 @@ def slq_function_trace(
     if num_repeats <= 0:
         raise ValueError(f"num_repeats must be positive, got {num_repeats}.")
     dtype = A.dtype
-    key = key if key is not None else jax.random.key(0)
+    key = next_default_key(key)
     mv, consts = _flat_matvec(A)
 
     # The expensive program — vmapped Lanczos over all probes — does not

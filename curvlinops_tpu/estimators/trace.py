@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from curvlinops_tpu.estimators.sampling import random_matrix
+from curvlinops_tpu.estimators.sampling import next_default_key, random_matrix
 
 
 def _check_square(A) -> int:
@@ -41,7 +41,7 @@ def hutchinson_trace(
     """Girard-Hutchinson estimator ``tr(A) ~ 1/N sum v^T A v`` (one matmat)."""
     dim = _check_square(A)
     _check_matvecs(dim, num_matvecs, 1)
-    key = key if key is not None else jax.random.key(0)
+    key = next_default_key(key)
     G = random_matrix(key, dim, num_matvecs, distribution, A.dtype)
     return jnp.einsum("ij,ij->", G, A @ G) / num_matvecs
 
@@ -56,7 +56,7 @@ def hutchpp_trace(
     dim = _check_square(A)
     _check_matvecs(dim, num_matvecs, 3)
     m = num_matvecs // 3
-    key = key if key is not None else jax.random.key(0)
+    key = next_default_key(key)
     k1, k2 = jax.random.split(key)
     S = random_matrix(k1, dim, m, distribution, A.dtype)
     G = random_matrix(k2, dim, m, distribution, A.dtype)
@@ -79,7 +79,7 @@ def xtrace(
     dim = _check_square(A)
     _check_matvecs(dim, num_matvecs, 2)
     m = num_matvecs // 2
-    key = key if key is not None else jax.random.key(0)
+    key = next_default_key(key)
     W = random_matrix(key, dim, m, distribution, A.dtype)
     A_W = A @ W
 

@@ -47,7 +47,19 @@ class CrossEntropyLoss(Loss):
 
     ``prediction``: logits ``[N, C, *dims]``; ``target``: integer class indices
     ``[N, *dims]``. Reduction averages/sums over ``N * prod(dims)`` loss terms.
+
+    ``ignore_index`` (default ``-100``, torch's) marks padded targets: they
+    contribute zero loss and — like torch — the ``mean`` reduction divides by
+    the number of NON-ignored targets. Any other out-of-range target is
+    invalid (torch raises; under jit this class cannot, so operators validate
+    targets eagerly during their determinism checks). NOTE for the sampled /
+    TYPE2 Fisher paths: the mean-reduction scaling conventions count
+    ``num_per_example_loss_terms`` loss terms per example — with ragged
+    padding pass that number explicitly (the reference shares this static
+    convention).
     """
+
+    ignore_index: int = -100
 
     def __call__(self, prediction: jax.Array, target: jax.Array) -> jax.Array:
         logits = prediction
@@ -56,11 +68,17 @@ class CrossEntropyLoss(Loss):
             moved = jnp.moveaxis(logits, 1, -1)
             logits = moved.reshape(-1, moved.shape[-1])
             target = target.reshape(-1)
+        mask = target != self.ignore_index
+        safe_t = jnp.where(mask, target, 0)
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(
-            logprobs, target[:, None].astype(jnp.int32), axis=-1
+            logprobs, safe_t[:, None].astype(jnp.int32), axis=-1
         )[:, 0]
-        return self._reduce(nll)
+        nll = jnp.where(mask, nll, 0.0)
+        if self.reduction == "mean":
+            count = jnp.maximum(jnp.sum(mask), 1)
+            return jnp.sum(nll) / count
+        return jnp.sum(nll)
 
 
 @dataclass(frozen=True)

@@ -566,6 +566,32 @@ class EmpiricalRiskOperator(LinearOperator):
             pred, loss, grad = fn(params, X, y, c)
             yield (X, y), pred, loss, grad
 
+    def _validate_targets(self, pred: Any, y: Any) -> None:
+        """Eagerly refuse invalid cross-entropy targets.
+
+        ``jnp.take_along_axis`` silently WRAPS negative class indices and a
+        jitted kernel cannot raise; torch errors on them. Only
+        ``ignore_index`` (contributes zero loss) and in-range classes are
+        valid. Runs during the determinism rails, where batches are already
+        on host.
+
+        Raises:
+            ValueError: On any out-of-range target.
+        """
+        loss_fn = self._loss_fn
+        if not isinstance(loss_fn, CrossEntropyLoss):
+            return
+        C = jnp.shape(pred)[1]
+        y_np = np.asarray(y)
+        valid = ((y_np >= 0) & (y_np < C)) | (y_np == loss_fn.ignore_index)
+        if not valid.all():
+            bad = np.unique(y_np[~valid])[:10]
+            raise ValueError(
+                f"Cross-entropy targets outside [0, {C}) that are not "
+                f"ignore_index={loss_fn.ignore_index}: {bad.tolist()}. "
+                "jnp indexing would silently wrap them; torch raises."
+            )
+
     def _check_deterministic(self, rtol: float = 5e-5, atol: float = 1e-6) -> None:
         """Two independent data passes must agree (``_empirical_risk.py:179-291``).
 
@@ -578,6 +604,7 @@ class EmpiricalRiskOperator(LinearOperator):
         for (b1, pred1, loss1, grad1), (b2, pred2, loss2, grad2) in zip(
             self._batch_pred_loss_grad(), self._batch_pred_loss_grad()
         ):
+            self._validate_targets(pred1, b1[1])
             if self.FIXED_DATA_ORDER:
                 self._check_deterministic_batch(
                     b1, b2, pred1, pred2, loss1, loss2, grad1, grad2, rtol, atol

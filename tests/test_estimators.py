@@ -105,3 +105,21 @@ def test_validation_errors(spd_op):
     rect = MatrixLinearOperator(jnp.ones((4, 6)))
     with pytest.raises(ValueError):
         hutchinson_trace(rect, 2)  # not square
+
+
+def test_default_keys_decorrelate_repeats():
+    """Without an explicit key, repeated estimator calls must draw fresh
+    probes (a fixed default made averaging-over-repeats useless — 100
+    'independent' estimates with the variance of one)."""
+    import curvlinops_tpu as cl
+
+    # NOT diagonal: Rademacher probes are exact on diagonals regardless of key
+    mat = jax.random.normal(jax.random.key(0), (32, 32))
+    A = cl.MatrixLinearOperator(mat @ mat.T)
+    e1 = float(cl.hutchinson_trace(A, num_matvecs=4))
+    e2 = float(cl.hutchinson_trace(A, num_matvecs=4))
+    assert e1 != e2  # fresh probes per call
+    k = jax.random.key(3)
+    r1 = float(cl.hutchinson_trace(A, num_matvecs=4, key=k))
+    r2 = float(cl.hutchinson_trace(A, num_matvecs=4, key=k))
+    assert r1 == r2  # explicit keys stay reproducible

@@ -136,9 +136,10 @@ def test_held_composes_with_solver_layer():
     inv_h = CGInverseLinearOperator(held + 0.1 * I, maxiter=400, tol=1e-7)
     report_nonclose(inv_h @ v, inv_b @ v, rtol=1e-5, atol=1e-6,
                     name="CG inverse on held")
+    k = jax.random.key(11)  # same probes -> identical estimates
     np.testing.assert_allclose(
-        float(hutchinson_trace(held, num_matvecs=32)),
-        float(hutchinson_trace(op, num_matvecs=32)),
+        float(hutchinson_trace(held, num_matvecs=32, key=k)),
+        float(hutchinson_trace(op, num_matvecs=32, key=k)),
         rtol=1e-5,
     )
     fn, consts = held.traced(1)
