@@ -91,7 +91,11 @@ def main() -> None:
     )
     c = jnp.float32(1.0)
 
-    matvec = jax.jit(lambda m: kernel(prob.params, X, y, m, c, key))
+    # params/X/y enter as jit ARGUMENTS — closure capture would embed ~51MB
+    # of HLO constants (CLAUDE.md: the remote compile service rejects >100MB
+    # bodies; this template must survive bigger models/batches)
+    jitted = jax.jit(lambda m, p, X, y: kernel(p, X, y, m, c, key))
+    matvec = lambda m: jitted(m, prob.params, X, y)  # noqa: E731
 
     # warm up (compile)
     t0 = time.perf_counter()
@@ -119,14 +123,19 @@ def main() -> None:
         t1, t2 = run_chain(n1), run_chain(n2)
         best = min(best, (t2 - t1) / (n2 - n1))
 
-    ms = max(best, 0.0) * 1e3
+    ms = best * 1e3
+    if not ms > 0:  # noise/misbehaving barrier: report a sentinel, not 1/0
+        print(f"WARNING: non-positive marginal rate {ms} ms", file=sys.stderr)
+        ms = float("nan")
     print(
         json.dumps(
             {
                 "metric": "GGN-VP matvec, ResNet-18/CIFAR-10 (B=512)",
-                "value": round(ms, 3),
+                "value": round(ms, 3) if ms == ms else None,
                 "unit": "ms",
-                "vs_baseline": round(BASELINE_COMPILED_MS / ms, 2),
+                "vs_baseline": (
+                    round(BASELINE_COMPILED_MS / ms, 2) if ms == ms else None
+                ),
             }
         )
     )

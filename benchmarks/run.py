@@ -139,7 +139,7 @@ def _single_readback(tree) -> None:
     total = None
     for leaf in jax.tree.leaves(tree):
         if isinstance(leaf, jax.Array):
-            s = jnp.sum(jnp.abs(leaf[..., -1])).astype(jnp.float32)
+            s = jnp.sum(jnp.abs(leaf.reshape(-1)[-1])).astype(jnp.float32)
             total = s if total is None else total + s
     if total is not None:
         float(total)
@@ -186,7 +186,12 @@ def bench_kfac(prob, results: dict, kfac_approx: str = "expand") -> None:
         # frozen is a jit ARGUMENT (CLAUDE.md: closure-captured constants
         # >100MB — e.g. the GPT's excluded embedding tables — get rejected
         # by the remote compile service)
-        shifted = jax.tree.map(lambda p: p + 0.0 * carry, params)
+        # cast the carry-coupling term to the PARAM dtype: bf16 + f32
+        # scalar promotes to f32, which silently made --dtype bfloat16
+        # factor builds measure an f32 kernel
+        shifted = jax.tree.map(
+            lambda p: p + (0.0 * carry).astype(p.dtype), params
+        )
         aaT, ggT = inner(frozen, shifted, X, y, fkey, corr)
         total = jnp.asarray(0.0, jnp.float32)
         for leaf in jax.tree.leaves((aaT, ggT)):
@@ -319,7 +324,7 @@ def main() -> None:
     )
     parser.add_argument(
         "--scan-blocks", action="store_true",
-        help="scan-stacked transformer blocks (shakespeare_nanogpt only)",
+        help="scan-stacked blocks (shakespeare_nanogpt and cifar10_vit)",
     )
     parser.add_argument(
         "--attention", default=None, choices=["fused", "einsum", "flash"],
@@ -341,6 +346,9 @@ def main() -> None:
     from curvlinops_tpu.models import PROBLEMS
 
     setup = PROBLEMS["synthetic_" + args.problem]
+    import inspect
+
+    accepted = set(inspect.signature(setup).parameters)
     setup_kwargs = {"dtype": jnp.dtype(args.dtype)}
     if args.batch_size:
         setup_kwargs["batch_size"] = args.batch_size
@@ -348,8 +356,21 @@ def main() -> None:
         setup_kwargs["scan_blocks"] = True
     if args.attention:
         setup_kwargs["attention_impl"] = args.attention
-    prob = setup(**setup_kwargs)
+    unsupported = set(setup_kwargs) - accepted
+    if unsupported:
+        parser.error(
+            f"--problem {args.problem} does not support "
+            f"{sorted(unsupported)} (accepts {sorted(accepted)})"
+        )
     ops = args.ops.split(",")
+    known_ops = {
+        "gradient", "hessian", "ggn", "ggn_mc", "ef", "held_ggn",
+        "held_hessian", "kfac", "ekfac",
+    }
+    unknown = [o for o in ops if o not in known_ops]
+    if unknown:  # a typo'd op silently skipping would corrupt provenance
+        parser.error(f"unknown --ops {unknown}; known: {sorted(known_ops)}")
+    prob = setup(**setup_kwargs)
 
     print(f"problem={prob.name} device={jax.devices()[0]}", file=sys.stderr)
     results: dict = {
@@ -383,6 +404,8 @@ def main() -> None:
     out_dir = Path(__file__).parent / "results"
     out_dir.mkdir(exist_ok=True)
     suffix = "" if args.dtype == "float32" else f"_{args.dtype}"
+    if args.kfac_approx != "expand":
+        suffix += f"_{args.kfac_approx}"
     if args.scan_blocks:
         suffix += "_scan"
     if args.attention:

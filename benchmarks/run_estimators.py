@@ -76,6 +76,7 @@ def main() -> None:
         "problem": "cifar10_resnet18 GGN (B=512)",
         "device": str(jax.devices()[0]),
         "num_matvecs": 64,
+        "num_matvecs_hutchpp": 63,  # divisible by 3 (sketch/probe split)
     }
 
     t, tr = timed(lambda: cl.hutchinson_trace(G, 64, key=key))

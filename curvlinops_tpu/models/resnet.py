@@ -198,8 +198,7 @@ def kfac_restricted(apply_fn, params, include_embeddings: bool = False):
         if any(str(k).startswith(("wte", "wpe", "emb")) for k in keys):
             return include_embeddings
         supported = any(
-            str(k).startswith(("conv", "fc", "dense", "attn", "mlp")) and
-            not str(k).startswith("bn")
+            str(k).startswith(("conv", "fc", "dense", "attn", "mlp"))
             for k in keys
         ) and not any(str(k).startswith(("bn", "ln")) for k in keys)
         return supported and all(d <= 50_000 for d in jnp.shape(leaf))
