@@ -259,6 +259,70 @@ def test_frozen_params_not_captured_as_constants():
         jax.config.update("jax_captured_constants_warn_bytes", old)
 
 
+def test_kfac_on_huggingface_flax_vit():
+    """KFAC on an UNMODIFIED HuggingFace FlaxViT: the conv patch embedding
+    AND the attention/MLP/classifier dense layers are discovered from the
+    flax-linen jaxpr (layernorms, CLS token, position embeddings frozen)."""
+    pytest.importorskip("transformers")
+    from transformers import FlaxViTForImageClassification, ViTConfig
+
+    import jax.tree_util as jtu
+    from curvlinops_tpu import CrossEntropyLoss, KFACLinearOperator
+    from curvlinops_tpu.utils.misc import FrozenModelFn
+
+    cfg = ViTConfig(
+        hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, image_size=8, patch_size=4, num_channels=3,
+        num_labels=5,
+    )
+    model = FlaxViTForImageClassification(cfg, seed=0)
+    params = model.params
+
+    def base_fn(p, x):
+        return model(pixel_values=x, params=p).logits
+
+    flat, treedef = jtu.tree_flatten_with_path(params)
+
+    def is_kfac(path):
+        ks = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "layernorm" in ks or "cls_token" in ks or "position_embeddings" in ks:
+            return False
+        return any(
+            name in ks
+            for name in ("projection", "query", "key", "value", "dense",
+                         "classifier")
+        )
+
+    kfac_flat = {jtu.keystr(p): l for p, l in flat if is_kfac(p)}
+    frozen_flat = {jtu.keystr(p): l for p, l in flat if not is_kfac(p)}
+
+    def raw_fn(frozen, kp, x):
+        leaves = [
+            kp[jtu.keystr(p)] if jtu.keystr(p) in kp else frozen[jtu.keystr(p)]
+            for p, _ in flat
+        ]
+        return base_fn(jtu.tree_unflatten(treedef, leaves), x)
+
+    kfac_fn = FrozenModelFn(raw_fn, frozen_flat)
+    X = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3, 8, 8)), jnp.float32
+    )
+    y = jnp.asarray(np.random.default_rng(1).integers(0, 5, (2,)))
+    kfac = KFACLinearOperator(
+        kfac_fn, CrossEntropyLoss("mean"), kfac_flat, [(X, y)],
+        fisher_type="mc", mc_samples=1, check_deterministic=False,
+    )
+    kinds = {u.kind for g in kfac.groups for u in g.uses}
+    assert kinds == {"conv", "dense"}
+    # q/k/v + attn-out + intermediate + output + patch conv + classifier
+    n_weight_groups = sum(1 for g in kfac.groups if g.weight_path is not None)
+    assert n_weight_groups == 8
+    v = np.random.default_rng(3).standard_normal(kfac.shape[0]).astype(np.float32)
+    assert np.isfinite(kfac @ v).all()
+    inv = kfac.inverse(damping=1e-1, use_exact_damping=True)
+    assert np.isfinite(inv @ v).all()
+
+
 def test_kfac_on_huggingface_flax_gpt2():
     """KFAC on an UNMODIFIED HuggingFace FlaxGPT2 (Conv1D kernel transposes
     handled by the collector's weight-view tracking)."""
