@@ -55,6 +55,7 @@ from curvlinops_tpu.ops.eigh import EighDecomposedLinearOperator
 from curvlinops_tpu.ops.inverse import (
     CGInverseLinearOperator,
     LSMRInverseLinearOperator,
+    MINRESInverseLinearOperator,
     NeumannInverseLinearOperator,
 )
 from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator
@@ -82,6 +83,7 @@ __all__ = [
     "SubmatrixLinearOperator",
     "CGInverseLinearOperator",
     "LSMRInverseLinearOperator",
+    "MINRESInverseLinearOperator",
     "NeumannInverseLinearOperator",
     "HessianLinearOperator",
     "GGNLinearOperator",

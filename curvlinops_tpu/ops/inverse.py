@@ -113,6 +113,72 @@ class CGInverseLinearOperator(LinearOperator):
         )
 
 
+class MINRESInverseLinearOperator(LinearOperator):
+    """``A^{-1}`` for symmetric INDEFINITE ``A`` via on-device batched MINRES.
+
+    Beyond the reference's inverse layer (CG — SPD only — LSMR, Neumann):
+    undamped/lightly-damped Hessians are indefinite, where CG can diverge;
+    MINRES minimizes the residual over the same Krylov space with three-term
+    recurrences. Same single-program structure as
+    :class:`CGInverseLinearOperator` (see ``solvers/minres.py``).
+
+    Symmetry is asserted via ``A.SELF_ADJOINT`` (curvature operators set it;
+    for a symmetric :class:`MatrixLinearOperator` set the flag yourself).
+    """
+
+    def __init__(
+        self,
+        A: LinearOperator,
+        *,
+        maxiter: int = 100,
+        tol: float = 1e-5,
+        atol: float = 1e-8,
+    ):
+        if A.shape[0] != A.shape[1]:
+            raise ValueError(f"Operator must be square, got {A.shape}.")
+        if not A.SELF_ADJOINT:
+            raise ValueError("MINRES requires a symmetric operator.")
+        super().__init__(A.in_spec, A.out_spec)
+        self._A = A
+        self._maxiter, self._tol, self._atol = maxiter, tol, atol
+        self._last_info: dict | None = None
+        self.SELF_ADJOINT = True
+
+    @property
+    def last_info(self) -> dict | None:
+        """Iteration count / per-column residuals of the last solve."""
+        return self._last_info
+
+    def set_minres_hyperparameters(self, **kwargs) -> None:
+        """Update solver hyperparameters (maxiter/tol/atol)."""
+        for name in ("maxiter", "tol", "atol"):
+            if name in kwargs:
+                setattr(self, f"_{name}", kwargs.pop(name))
+        if kwargs:
+            raise ValueError(f"Unknown MINRES hyperparameters: {sorted(kwargs)}.")
+        self.invalidate_traced()
+
+    def _matmat(self, M: Any) -> Any:
+        from curvlinops_tpu.solvers.minres import batched_minres
+
+        ncols = _ncols(M)
+        fnA, argsA = self._A.traced(ncols)
+        key = (ncols, self._maxiter, self._tol, self._atol)
+
+        def build():
+            maxiter, tol, atol = self._maxiter, self._tol, self._atol
+
+            def fused(M, argsA):
+                mv = lambda V: fnA(V, *argsA)  # noqa: E731
+                return batched_minres(mv, M, maxiter=maxiter, tol=tol, atol=atol)
+
+            return jax.jit(fused)
+
+        X, info = cached_program(self, key, build)(M, argsA)
+        self._last_info = info
+        return X
+
+
 class LSMRInverseLinearOperator(LinearOperator):
     """Least-squares (pseudo-)inverse via on-device batched LSMR."""
 

@@ -193,3 +193,62 @@ def test_neumann_composes_under_trace():
     cg = CGInverseLinearOperator(sym, preconditioner=P, maxiter=50, tol=1e-10)
     v = np.ones(6, dtype=np.float32)
     np.testing.assert_allclose(cg @ v, v / 2.0, rtol=1e-5)
+
+
+def test_minres_indefinite_dense():
+    """MINRES solves symmetric INDEFINITE systems (where CG has no
+    guarantee): the undamped-Hessian regime the reference cannot serve."""
+    from curvlinops_tpu import MINRESInverseLinearOperator
+
+    rng = np.random.default_rng(5)
+    Q = np.linalg.qr(rng.normal(size=(24, 24)))[0]
+    w = np.concatenate([np.linspace(-4, -0.5, 8), np.linspace(0.5, 6, 16)])
+    dense = (Q * w) @ Q.T
+    op = MatrixLinearOperator(jnp.asarray(dense, jnp.float32))
+    op.SELF_ADJOINT = True  # assert symmetry of the wrapped matrix
+    inv = MINRESInverseLinearOperator(op, maxiter=200, tol=1e-7)
+    v = rng.normal(size=24).astype(np.float32)
+    report_nonclose(
+        inv @ v, np.linalg.solve(dense, v), rtol=1e-3, atol=1e-4,
+        name="MINRES indefinite",
+    )
+    assert int(inv.last_info["iterations"]) <= 200
+    # program cache reused across same-width solves
+    x2 = inv @ (2 * v)
+    np.testing.assert_allclose(x2, 2 * np.asarray(inv @ v), rtol=1e-3, atol=1e-4)
+    assert len(inv._program_cache[1]) == 1
+
+
+def test_minres_on_indefinite_hessian():
+    """MINRES against a real (indefinite) neural-net Hessian."""
+    from curvlinops_tpu import HessianLinearOperator, MINRESInverseLinearOperator
+    from curvlinops_tpu.losses import MSELoss
+
+    case = make_case("mlp_mse_mean")
+    H = HessianLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], case["data"],
+        check_deterministic=False,
+    )
+    dense = np.asarray(H.todense())
+    evals = np.linalg.eigvalsh(dense)
+    shift = 0.0
+    if evals.min() > -1e-4:  # make it genuinely indefinite for the test
+        shift = float(evals.min()) + 0.1
+        dense = dense - shift * np.eye(len(dense))
+    A = H - shift * IdentityLinearOperator(H.in_spec)
+    inv = MINRESInverseLinearOperator(A, maxiter=600, tol=1e-8)
+    v = np.random.default_rng(6).normal(size=H.shape[0]).astype(np.float32)
+    report_nonclose(
+        inv @ v, np.linalg.solve(dense, v), rtol=5e-3, atol=1e-3,
+        name="MINRES NN Hessian",
+    )
+
+
+def test_minres_requires_symmetric():
+    from curvlinops_tpu import MINRESInverseLinearOperator
+
+    A = MatrixLinearOperator(
+        jnp.asarray(np.random.default_rng(0).normal(size=(4, 4)), jnp.float32)
+    )  # SELF_ADJOINT defaults to False for general matrices
+    with pytest.raises(ValueError, match="symmetric"):
+        MINRESInverseLinearOperator(A)

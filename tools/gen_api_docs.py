@@ -71,6 +71,7 @@ GROUPS = [
         [
             "CGInverseLinearOperator",
             "LSMRInverseLinearOperator",
+            "MINRESInverseLinearOperator",
             "NeumannInverseLinearOperator",
         ],
     ),
