@@ -111,6 +111,9 @@ def main() -> None:
     cg = cl.CGInverseLinearOperator(damped, maxiter=100, tol=1e-6)
     t, ng = timed(lambda: cg @ grad)
     results["cg_inverse_matvec maxiter=100 (s)"] = round(t, 3)
+    mr = cl.MINRESInverseLinearOperator(damped, maxiter=100, tol=1e-6)
+    t, _ = timed(lambda: mr @ grad)
+    results["minres_inverse_matvec maxiter=100 (s)"] = round(t, 3)
     # Neumann needs scale < 2/lambda_max (~2e3 here, from the top-k run)
     scale = float(1.8 / jnp.max(w))
     neu = cl.NeumannInverseLinearOperator(damped, num_terms=100, scale=scale)

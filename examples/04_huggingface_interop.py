@@ -13,6 +13,11 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 import numpy as np
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import curvlinops_tpu as cl
 from curvlinops_tpu.utils.misc import FrozenModelFn
 

@@ -20,6 +20,7 @@ EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
         "07_visual_tour.py",
         "08_monte_carlo_fisher.py",
         "09_mesh_scaleout.py",
+        "10_influence_functions.py",
     ],
 )
 def test_example_runs(script, capsys, tmp_path, monkeypatch):
