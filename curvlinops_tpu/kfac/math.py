@@ -429,10 +429,17 @@ def gradient_covariance(g: jax.Array, correction: float) -> jax.Array:
     """``ggT = correction * sum_{v,b,s} g g^T`` over sharing format grads.
 
     Stacked gradients ``[L, V, B, S, d]`` give batched ``[L, d, d]``.
+    Accumulates in f32 regardless of the model dtype (bf16 inputs keep the
+    MXU-native bf16-multiply/f32-accumulate shape; a bf16 sum of outer
+    products would be lossy).
     """
     if g.ndim == 5:
-        return correction * jnp.einsum("lvbsi,lvbsj->lij", g, g)
-    return correction * jnp.einsum("vbsi,vbsj->ij", g, g)
+        return correction * jnp.einsum(
+            "lvbsi,lvbsj->lij", g, g, preferred_element_type=jnp.float32
+        )
+    return correction * jnp.einsum(
+        "vbsi,vbsj->ij", g, g, preferred_element_type=jnp.float32
+    )
 
 
 def eigenvalue_correction_embedding(
