@@ -49,7 +49,11 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from curvlinops_tpu.curvature.loss_hessian import FisherType, make_grad_output_fn
+from curvlinops_tpu.curvature.loss_hessian import (
+    FisherType,
+    make_grad_output_fn,
+    mean_rescale,
+)
 from curvlinops_tpu.risk import CurvatureLinearOperator
 from curvlinops_tpu.utils.flatten import tree_scale, vmap_columns
 
@@ -112,8 +116,11 @@ def make_batch_ggn_mc_matmat(
         keys = jax.random.split(key, batch_size)
         # [N, V, *out] sampled grad-output vectors (already 1/sqrt(M)-scaled)
         G = jax.vmap(grad_output_fn)(jax.lax.stop_gradient(pred), y, keys)
-        # batch-dim reduction: the loss averages over the batch for 'mean'
+        # batch-dim reduction: the loss averages over the batch for 'mean';
+        # mean_rescale converts the static loss-term count to the true
+        # masked-loss denominator under CE ignore_index (1 when unpadded)
         c_batch = float(batch_size) if loss_fn.reduction == "mean" else 1.0
+        c_batch = c_batch / mean_rescale(loss_fn, y)
 
         def fishervp(v: Any) -> Any:
             jv = jvp_fn(v)

@@ -121,6 +121,7 @@ def _ggn_mc_kernels(op, raw: Callable, holder: dict):
     from curvlinops_tpu.curvature.loss_hessian import (
         FisherType,
         make_grad_output_fn,
+        mean_rescale,
     )
 
     loss_fn = op._loss_fn
@@ -135,16 +136,21 @@ def _ggn_mc_kernels(op, raw: Callable, holder: dict):
         batch_size = jax.tree.leaves(pred)[0].shape[0]
         keys = jax.random.split(key, batch_size)
         G = jax.vmap(grad_output_fn)(jax.lax.stop_gradient(pred), y, keys)
-        return {"consts": consts, "G": G}
+        # see ggn.py: masked-loss mean denominator under CE ignore_index
+        c_batch = (
+            float(batch_size) / mean_rescale(loss_fn, y)
+            if loss_fn.reduction == "mean"
+            else jnp.asarray(1.0, G.dtype)
+        )
+        return {"consts": consts, "G": G, "c_batch": c_batch}
 
     def make_apply():
         lin = holder["lin"]
-        c_batch_div = loss_fn.reduction == "mean"
 
         def apply(state, M, c):
             c = c.astype(jax.tree.leaves(M)[0].dtype)
             consts, G = state["consts"], state["G"]
-            c_batch = float(G.shape[0]) if c_batch_div else 1.0
+            c_batch = state["c_batch"]
             jvp = lambda v: lin(v, *consts)  # noqa: E731
             vjp = jax.linear_transpose(jvp, p_struct)
 

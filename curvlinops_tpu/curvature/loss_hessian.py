@@ -30,6 +30,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from curvlinops_tpu.losses import BCEWithLogitsLoss, CrossEntropyLoss, MSELoss
 
@@ -48,6 +49,26 @@ class KFACType(str, Enum):
 
     EXPAND = "expand"
     REDUCE = "reduce"
+
+
+def mean_rescale(loss_fn, y: jax.Array):
+    """``static_terms / non_ignored_count`` for mean-reduced CE, else 1.
+
+    The closed-form TYPE2/MC grad-output machinery scales by the STATIC
+    loss-term count (one term per target entry); torch's CE mean divides by
+    the NON-ignored count. Multiplying a batch's Fisher/ggT contribution by
+    this factor (linear, since the loss Hessian is linear in the loss
+    scale) converts the static convention to the true masked-loss one —
+    exactly 1 when no targets are padded.
+    """
+    if not (
+        isinstance(loss_fn, CrossEntropyLoss) and loss_fn.reduction == "mean"
+    ):
+        return 1.0
+    shape = jnp.shape(y)
+    total = float(np.prod(shape)) if shape else 1.0
+    count = jnp.maximum(jnp.sum(y != loss_fn.ignore_index), 1)
+    return total / count.astype(jnp.float32)
 
 
 def _feature_constant(loss_fn, output: jax.Array) -> float:

@@ -25,6 +25,7 @@ from curvlinops_tpu.curvature.loss_hessian import (
     FisherType,
     KFACType,
     make_grad_output_fn,
+    mean_rescale,
 )
 from curvlinops_tpu.kfac import math as kmath
 from curvlinops_tpu.kfac.collector import LayerUse, TracedModel
@@ -388,6 +389,14 @@ class KFACComputer:
             G_rows = jnp.moveaxis(G_rows, 1, 0)  # [V, L, C]
             if loss_fn.reduction == "mean":
                 G_rows = G_rows / L
+            # ignore_index: the closed-form TYPE2/MC scalings count the
+            # STATIC loss terms; convert to the true masked-loss convention
+            # (the linear Fisher scale static/count; 1 when nothing is
+            # padded). EMPIRICAL rows come from autodiff of the masked loss
+            # and are already true-scaled.
+            corr_eff = correction
+            if fisher_type in (FisherType.TYPE2, FisherType.MC):
+                corr_eff = correction * mean_rescale(loss_fn, y)
             G_pred = self._unflatten_rows(G_rows, jnp.shape(pred))
 
             ios_zero = [jnp.zeros_like(i) for i in ios]
@@ -408,7 +417,7 @@ class KFACComputer:
                     for u in group.uses
                 ]
                 g = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
-                ggT[gi] = kmath.gradient_covariance(g, correction)
+                ggT[gi] = kmath.gradient_covariance(g, corr_eff)
             return aaT, ggT
 
         return batch_kernel

@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from curvlinops_tpu.curvature.ef import flatten_prediction, flatten_target
-from curvlinops_tpu.curvature.loss_hessian import FisherType, make_grad_output_fn
+from curvlinops_tpu.curvature.loss_hessian import (
+    FisherType,
+    make_grad_output_fn,
+    mean_rescale,
+)
 from curvlinops_tpu.kfac import math as kmath
 from curvlinops_tpu.kfac.chain import KroneckerChainOperator, batched_eigh
 from curvlinops_tpu.kfac.computer import KFACComputer
@@ -142,6 +146,10 @@ class EKFACComputer(KFACComputer):
             G_rows = jnp.moveaxis(jax.vmap(grad_output_fn)(rows, y_rows, keys), 1, 0)
             if loss_fn.reduction == "mean":
                 G_rows = G_rows / L
+            # ignore_index static->masked-loss convention (see computer.py)
+            corr_eff = correction
+            if self.fisher_type in (FisherType.TYPE2, FisherType.MC):
+                corr_eff = correction * mean_rescale(loss_fn, y)
             G_pred = G_rows.reshape(G_rows.shape[0], *jnp.shape(pred))
             ios_zero = [jnp.zeros_like(i) for i in ios]
             gates_zero = [jnp.zeros_like(g) for g in gates]
@@ -210,7 +218,7 @@ class EKFACComputer(KFACComputer):
                     lam = kmath.eigenvalue_correction(
                         g, Q_g[gi], a, Q_a[gi], force_strategy
                     )
-                out[gi] = correction * lam
+                out[gi] = corr_eff * lam
             return out
 
         return corr_kernel

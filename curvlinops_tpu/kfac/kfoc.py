@@ -30,6 +30,7 @@ from curvlinops_tpu.curvature.loss_hessian import (
     FisherType,
     KFACType,
     make_grad_output_fn,
+    mean_rescale,
 )
 from curvlinops_tpu.kfac import math as kmath
 from curvlinops_tpu.kfac.computer import KFACComputer
@@ -200,7 +201,9 @@ class KFOCComputer(KFACComputer):
             )(G_pred)
 
             first, second, infos = {}, {}, {}
-            sqrt_corr = jnp.sqrt(corr)
+            # ignore_index static->masked-loss convention (see computer.py);
+            # KFOC is TYPE2/MC-only, so the rescale always applies
+            sqrt_corr = jnp.sqrt(corr * mean_rescale(loss_fn, y))
             for gi, group in enumerate(groups):
                 g_parts = [
                     kmath.grad_to_sharing_format(

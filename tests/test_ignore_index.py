@@ -147,6 +147,48 @@ def test_out_of_range_targets_refused_eagerly():
     cl.GGNLinearOperator(model, CrossEntropyLoss("mean"), params, [(X, y)])
 
 
+def test_padded_mc_fisher_expectation_is_padded_ggn():
+    """With many MC samples, the sampled Fisher on a PADDED batch must
+    approach the (autodiff, hence exactly masked) GGN — this pins the
+    static->masked-loss mean rescale in the MC kernel."""
+    model, params, X, y = _padded_problem()
+    loss = CrossEntropyLoss("mean")
+    G = cl.GGNLinearOperator(model, loss, params, [(X, y)],
+                             check_deterministic=False)
+    F = cl.GGNLinearOperator(model, loss, params, [(X, y)], mc_samples=3000,
+                             check_deterministic=False)
+    dG = np.asarray(G.todense())
+    dF = np.asarray(F.todense())
+    assert np.linalg.norm(dF - dG) / np.linalg.norm(dG) < 0.1
+
+
+@pytest.mark.parametrize("reduction", ["mean", "sum"])
+def test_padded_kfac_ggt_equals_truncated(reduction):
+    """EXPAND KFAC TYPE2 on a padded batch: the gradient covariance must
+    EQUAL the truncated-data build's (ignored rows are zero and the mean
+    rescale cancels the row-count mismatch exactly); the input covariance
+    legitimately differs (it still sees the padded positions' activations)."""
+    model, params, X, y = _padded_problem()
+    loss = CrossEntropyLoss(reduction)
+
+    def model_trunc(p, x):
+        h = jnp.tanh(x @ p["W"]) @ p["V"]
+        return h[:, :-1].reshape(-1, 4)
+
+    y_trunc = y.reshape(3, 4)[:, :-1].reshape(-1)
+    kw = dict(fisher_type="type-2", check_deterministic=False)
+    pad = cl.KFACLinearOperator(model, loss, params, [(X, y)], **kw)
+    trunc = cl.KFACLinearOperator(
+        model_trunc, loss, params, [(X, y_trunc)], **kw
+    )
+    assert set(pad._ggT) == set(trunc._ggT)
+    for gi in pad._ggT:
+        np.testing.assert_allclose(
+            np.asarray(pad._ggT[gi]), np.asarray(trunc._ggT[gi]),
+            rtol=1e-5, atol=1e-7,
+        )
+
+
 def test_kfac_builds_on_padded_batch():
     """KFAC TYPE2/MC on padded targets: finite factors, zero contribution
     from ignored rows (no NaNs from the -100 lookup)."""
