@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from curvlinops_tpu.curvature.loss_hessian import FisherType, make_grad_output_fn
+from curvlinops_tpu.curvature.loss_hessian import (
+    FisherType,
+    make_grad_output_fn,
+    mean_rescale,
+)
 from curvlinops_tpu.ops.diagonal import DiagonalLinearOperator
 from curvlinops_tpu.risk import default_batch_size
 from curvlinops_tpu.utils.misc import unwrap_model_fn
@@ -47,7 +51,10 @@ def make_batch_ggn_diagonal(
         batch_size = default_batch_size(X)
         keys = jax.random.split(key, batch_size)
         contribs = jax.vmap(per_datum)(X, y, keys)
+        # mean_rescale: masked-loss denominator under CE ignore_index
+        # (the Fisher diagonal is linear in the loss scale; 1 when unpadded)
         c_batch = float(batch_size) if loss_fn.reduction == "mean" else 1.0
+        c_batch = c_batch / mean_rescale(loss_fn, y)
         return jax.tree.map(lambda t: (c / c_batch) * jnp.sum(t, axis=0), contribs)
 
     return batch_diag

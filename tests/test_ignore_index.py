@@ -189,6 +189,33 @@ def test_padded_kfac_ggt_equals_truncated(reduction):
         )
 
 
+def test_padded_ggn_diagonal_equals_dense_diagonal():
+    """TYPE2 GGN diagonal on a padded batch equals the dense GGN's diagonal
+    (which autodiff computes with the exactly-masked loss). Uses the
+    unflattened ``[N, C, D]`` CE layout — the diagonal's per-datum vmap
+    requires per-example outputs (same restriction as the reference)."""
+    _, params, X, y_flat = _padded_problem()
+    y = y_flat.reshape(3, 4)  # [N, D] targets, last position ignored
+
+    def model(p, x):  # [B, T, 5] -> [B, C, T]
+        h = jnp.tanh(x @ p["W"]) @ p["V"]
+        return jnp.moveaxis(h, -1, 1)
+
+    loss = CrossEntropyLoss("mean")
+    G = cl.GGNLinearOperator(model, loss, params, [(X, y)],
+                             check_deterministic=False)
+    diag_op = cl.GGNDiagonalLinearOperator(
+        model, loss, params, [(X, y)], check_deterministic=False
+    )
+    from curvlinops_tpu.utils.flatten import ravel_pytree
+
+    flat_diag, _ = ravel_pytree(diag_op.diagonal)
+    np.testing.assert_allclose(
+        np.asarray(flat_diag), np.diag(np.asarray(G.todense())),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_kfac_builds_on_padded_batch():
     """KFAC TYPE2/MC on padded targets: finite factors, zero contribution
     from ignored rows (no NaNs from the -100 lookup)."""
