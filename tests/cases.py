@@ -152,6 +152,22 @@ def make_case(name: str, seed: int = 0) -> dict:
             data=_split(X, y, batches),
         )
 
+    if name.startswith("seq_bce"):
+        # weight sharing with BCE: elementwise loss over [N, S, C]
+        sizes, N, S, batches = [5, 6, 3], 8, 4, 2
+        params = _mlp_params(k_param, sizes)
+        X = jax.random.normal(k_x, (N, S, sizes[0]))
+        y = jax.random.bernoulli(k_y, 0.5, (N, S, sizes[-1])).astype(
+            jnp.float32
+        )
+        reduction = "mean" if name.endswith("mean") else "sum"
+        return dict(
+            model_fn=mlp_fn,  # applies along the last axis -> [N, S, C]
+            loss_fn=BCEWithLogitsLoss(reduction),
+            params=params,
+            data=_split(X, y, batches),
+        )
+
     if name.startswith("cnn_ce"):
         N, batches = 8, 2
         params = _cnn_params(k_param)
@@ -180,5 +196,6 @@ CASE_NAMES = [
     "dict_mse",
     "seq_ce_mean",
     "seq_ce_sum",
+    "seq_bce_mean",
     "cnn_ce",
 ]

@@ -274,9 +274,11 @@ def test_kfac_damped_inverse(mode):
     report_nonclose(inv @ v, expected, rtol=5e-3, atol=1e-4, name="damped inverse")
 
 
-def test_kfac_weight_sharing_seq():
-    """Sequence-output CE builds with expand and reduce settings."""
-    case = make_case("seq_ce_mean")
+@pytest.mark.parametrize("case_name", ["seq_ce_mean", "seq_bce_mean"])
+def test_kfac_weight_sharing_seq(case_name):
+    """Sequence-output CE / elementwise BCE weight sharing builds with
+    expand and reduce settings (the reference's BCE-sharing case family)."""
+    case = make_case(case_name)
     for approx in [KFACType.EXPAND, KFACType.REDUCE]:
         kfac = KFACLinearOperator(
             case["model_fn"],
