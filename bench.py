@@ -35,13 +35,15 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
-def _wait_for_device(max_wait_s: float = 1200.0) -> None:
+def _wait_for_device(max_wait_s: float = 1200.0) -> bool:
     """Block until the TPU tunnel answers a trivial matmul.
 
     The axon tunnel goes UNAVAILABLE for minutes at a time (and a hung RPC
     never returns), so the probe runs in a SUBPROCESS with a hard timeout —
     the probe process exits before this process touches the device, keeping
-    the one-TPU-process-at-a-time rule."""
+    the one-TPU-process-at-a-time rule. Returns False if the device never
+    answered: the caller must NOT touch the backend then (jax.devices()
+    would hang forever) and should emit a sentinel result instead."""
     import subprocess
 
     probe = (
@@ -61,15 +63,14 @@ def _wait_for_device(max_wait_s: float = 1200.0) -> None:
             if res.returncode == 0:
                 if attempt > 1:
                     print(f"device up after {attempt} probes", file=sys.stderr)
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         if time.monotonic() > deadline:
             print(
-                "WARNING: device probe never succeeded; proceeding anyway",
-                file=sys.stderr,
+                "WARNING: device probe never succeeded", file=sys.stderr
             )
-            return
+            return False
         print(f"device probe {attempt} failed; retrying in 30s", file=sys.stderr)
         time.sleep(30)
 
@@ -78,7 +79,21 @@ def main() -> None:
     from curvlinops_tpu.curvature.ggn import make_batch_ggn_matmat
     from curvlinops_tpu.models import cifar10_resnet18
 
-    _wait_for_device()
+    if not _wait_for_device():
+        # tunnel dead: report a sentinel rather than hanging on the first
+        # backend touch (a hung RPC never returns on this runtime)
+        print(
+            json.dumps(
+                {
+                    "metric": "GGN-VP matvec, ResNet-18/CIFAR-10 (B=512)",
+                    "value": None,
+                    "unit": "ms",
+                    "vs_baseline": None,
+                    "error": "TPU tunnel unreachable",
+                }
+            )
+        )
+        return
     print(f"benchmark device: {jax.devices()[0]}", file=sys.stderr)
 
     prob = cifar10_resnet18(batch_size=512)
