@@ -191,7 +191,11 @@ def _view_descriptor(prim_name: str, params: dict, in_shape: tuple):
     if prim_name == "squeeze":
         return ("squeeze", tuple(params["dimensions"]), tuple(in_shape))
     if prim_name == "broadcast_in_dim":
-        return ("broadcast", tuple(params["shape"]), tuple(in_shape))
+        return (
+            "broadcast",
+            (tuple(params["shape"]), tuple(params["broadcast_dimensions"])),
+            tuple(in_shape),
+        )
     if prim_name in ("copy", "rev"):
         return (prim_name, tuple(params.get("dimensions", ())), tuple(in_shape))
     return (prim_name, None, tuple(in_shape))
@@ -228,6 +232,52 @@ def _keeps_trailing_axis(prim_name: str, params: dict, in_shape, out_shape) -> b
 def _views_invertible(views) -> bool:
     """Whether a weight's view chain can be inverted by the canonicalizers."""
     return all(v[0] in ("transpose", "reshape", "convert", "squeeze") for v in views)
+
+
+def _bias_element_axes(views, leaf_shape) -> list | None:
+    """Axes of the final value that carry DISTINCT leaf elements, in leaf
+    order — or ``None`` when the chain cannot be proven order-preserving.
+
+    A layer bias must place its elements on the layer's output-feature axis
+    with identity ordering; a chain containing ``rev``/``transpose`` (or a
+    reshape that merges/splits the non-trivial dims) may silently permute
+    the bias relative to the gradient rows, so the caller refuses on
+    ``None``.
+    """
+    axes = [i for i, s in enumerate(leaf_shape) if s > 1]
+    shape = list(leaf_shape)
+    for kind, arg, _in_shape in views:
+        if kind in ("convert", "copy"):
+            continue
+        if kind == "squeeze":
+            dims = set(arg)
+            mapping, j = {}, 0
+            for i in range(len(shape)):
+                if i not in dims:
+                    mapping[i] = j
+                    j += 1
+            if any(a in dims for a in axes):
+                return None
+            axes = [mapping[a] for a in axes]
+            shape = [s for i, s in enumerate(shape) if i not in dims]
+        elif kind == "reshape":
+            new_shape = list(arg)
+            old_nt = [(i, s) for i, s in enumerate(shape) if s > 1]
+            new_nt = [(i, s) for i, s in enumerate(new_shape) if s > 1]
+            # provable only when the non-trivial dims survive one-to-one in
+            # order (pure squeeze/unsqueeze-style reshapes)
+            if [s for _, s in old_nt] != [s for _, s in new_nt]:
+                return None
+            old_pos = {i: k for k, (i, _) in enumerate(old_nt)}
+            axes = [new_nt[old_pos[a]][0] for a in axes]
+            shape = new_shape
+        elif kind == "broadcast":
+            out_shape, bdims = arg
+            axes = [bdims[a] for a in axes]
+            shape = list(out_shape)
+        else:  # transpose, rev, anything else: ordering not provable
+            return None
+    return axes
 
 
 class _FlatIR:
@@ -376,30 +426,27 @@ class TracedModel:
     """
 
     def __init__(self, model_fn: Callable, params: Any, X_example: Any):
-        self._model_fn = model_fn
         # frozen (non-differentiated) model constants are traced as leading
         # inputs, NOT captured constants — keeps them out of the kernel HLOs
         frozen, raw = unwrap_model_fn(model_fn)
         self._frozen = frozen
-        self._raw = raw
-        closed = jax.make_jaxpr(raw)(frozen, params, X_example)
+        # ONE abstract trace: return_shape also yields the output pytree
+        # (a second eval_shape doubled the seconds-scale trace cost of
+        # large models on every per-batch-shape cache miss)
+        closed, out_shape = jax.make_jaxpr(raw, return_shape=True)(
+            frozen, params, X_example
+        )
         n_frozen = len(tree_util.tree_leaves(frozen))
 
-        param_leaves_with_paths, params_def = tree_util.tree_flatten_with_path(params)
+        param_leaves_with_paths, _ = tree_util.tree_flatten_with_path(params)
         self.param_paths = [p for p, _ in param_leaves_with_paths]
         self._param_shapes = [jnp.shape(leaf) for _, leaf in param_leaves_with_paths]
         n_params = len(self.param_paths)
-        self._params_def = params_def
         self._n_frozen = n_frozen
-
-        x_leaves = tree_util.tree_leaves(X_example)
-        self._n_x_leaves = len(x_leaves)
 
         ir = _FlatIR(closed)
         self._ir = ir
-        self._out_tree = tree_util.tree_structure(
-            jax.eval_shape(raw, frozen, params, X_example)
-        )
+        self._out_tree = tree_util.tree_structure(out_shape)
 
         # provenance: var key -> _Derived. The view chain records the
         # transparent ops between the leaf and the value (e.g. HuggingFace's
@@ -436,6 +483,33 @@ class TracedModel:
                     [leaf],
                     "cond (weight tied across cond branches or between a "
                     "branch and the outside)",
+                )
+
+        # a bias leaf attached to layers with DIFFERENT weights (or to more
+        # than one bias-only block) would create duplicate canonical blocks
+        # for the same leaf, whose from_canonical writes silently overwrite
+        # each other — refuse (tied-weight layers sharing their bias are
+        # fine: one group)
+        bias_owners: dict = {}
+        for u in self.layers:
+            if u.bias_path is None:
+                continue
+            owner = (
+                tuple(u.weight_path)
+                if u.weight_path is not None
+                else ("<bias-only>", u.layer_id)
+            )
+            bias_owners.setdefault(tuple(u.bias_path), set()).add(owner)
+        for bpath, owners in bias_owners.items():
+            if len(owners) > 1:
+                leaf = next(
+                    i for i, p in enumerate(self.param_paths)
+                    if tuple(p) == bpath
+                )
+                self._flag(
+                    [leaf],
+                    "add (bias tied across different layers; its canonical "
+                    "KFAC block would be duplicated)",
                 )
 
         # completeness verification (collector.py:180-277 analogue)
@@ -549,6 +623,10 @@ class TracedModel:
                     )
                     continue
                 self._analyze_scan(op_index, op, entries, leaf_ids)
+                # scan outputs descend from any in-body matched layers: a
+                # later bias-only add on them must refuse like the unrolled
+                # equivalent would
+                descended.update(op.out_keys)
                 continue
 
             if prim_name == "cond" and any(e is not None for e in entries):
@@ -567,6 +645,7 @@ class TracedModel:
                     self._flag(leaf_ids, "cond (scan-derived operand)")
                     continue
                 self._analyze_cond(op_index, op, entries, leaf_ids)
+                descended.update(op.out_keys)  # same as scan above
                 continue
 
             if prim_name == "dot_general":
@@ -717,6 +796,34 @@ class TracedModel:
                             f"add (bias with {leaf_size} elements cannot be "
                             f"the bias of a layer with {d_out} output "
                             "features)",
+                        )
+                        continue
+                    # the leaf's elements must land on the layer's output-
+                    # FEATURE axis with identity ordering: a size match alone
+                    # accepts e.g. a position embedding broadcast along the
+                    # sequence axis when seq_len == d_out, or a reversed /
+                    # transposed bias — silently permuted factors
+                    bias_leaf_shape = tuple(self._param_shapes[e.leaf])
+                    if bscan is not None and bscan[0] == "stacked":
+                        # stacked scans: the in-body view chain applies to
+                        # the per-iteration slice, not the full leaf
+                        bias_leaf_shape = bias_leaf_shape[1:]
+                    elem_axes = _bias_element_axes(e.views, bias_leaf_shape)
+                    operand_ndim = len(
+                        self._atom_shape(op.in_atoms[bias_slots[0]])
+                    )
+                    if layer.kind == "conv":
+                        dn = layer.meta["dimension_numbers"]
+                        feature_axes = {dn.out_spec[1], operand_ndim - 1}
+                    else:
+                        feature_axes = {operand_ndim - 1}
+                    if elem_axes is None or any(
+                        a not in feature_axes for a in elem_axes
+                    ):
+                        self._flag(
+                            [e.leaf],
+                            "add (bias does not map onto the layer's output-"
+                            "feature axis with identity ordering)",
                         )
                         continue
                     bias_path = self.param_paths[e.leaf]

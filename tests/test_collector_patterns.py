@@ -144,3 +144,79 @@ def test_conv_bias_correct_channel_count_ok():
     )
     (u,) = tm.layers
     assert u.kind == "conv" and u.bias_path is not None
+
+
+def test_bias_tied_across_different_layers_refused():
+    """One bias leaf on two different-weight layers would duplicate its
+    canonical block (from_canonical writes would silently overwrite)."""
+
+    def f(p, x):
+        h = jnp.tanh(x @ p["W1"] + p["b"])
+        return h @ p["W2"] + p["b"]
+
+    with pytest.raises(ValueError, match="tied across different layers"):
+        TracedModel(
+            f,
+            {"W1": jnp.zeros((4, 4)), "W2": jnp.zeros((4, 4)),
+             "b": jnp.zeros(4)},
+            jnp.zeros((3, 4)),
+        )
+
+
+def test_reversed_bias_refused():
+    """``x@W + b[::-1]`` silently permutes the bias block — refuse."""
+
+    def f(p, x):
+        return x @ p["W"] + p["b"][::-1]
+
+    with pytest.raises(ValueError, match="identity ordering"):
+        TracedModel(
+            f, {"W": jnp.zeros((4, 5)), "b": jnp.zeros(5)}, jnp.zeros((3, 4))
+        )
+
+
+def test_position_broadcast_masquerading_as_bias_refused():
+    """A (S,)-leaf broadcast along the SEQUENCE axis with S == d_out passes
+    the size check but is not a per-feature bias — refuse."""
+
+    def f(p, x):  # x: [B, S, D] with S == d_out == 4
+        return x @ p["W"] + p["pos"][None, :, None]
+
+    with pytest.raises(ValueError, match="output-feature axis"):
+        TracedModel(
+            f,
+            {"W": jnp.zeros((5, 4)), "pos": jnp.zeros(4)},
+            jnp.zeros((2, 4, 5)),
+        )
+
+
+def test_normal_seq_bias_still_accepted():
+    """The standard [B, S, d] + b(d,) broadcast must keep working."""
+
+    def f(p, x):
+        return x @ p["W"] + p["b"]
+
+    tm = TracedModel(
+        f, {"W": jnp.zeros((5, 4)), "b": jnp.zeros(4)}, jnp.zeros((2, 6, 5))
+    )
+    (u,) = tm.layers
+    assert u.bias_path is not None
+
+
+def test_bias_on_transformed_scan_output_refused():
+    """relu(scan(...)) + b must refuse like the unrolled equivalent (bias
+    added to a transformed output of matched layers)."""
+
+    def f(p, x):
+        def body(h, W):
+            return jnp.tanh(h @ W), None
+
+        h, _ = jax.lax.scan(body, x, p["Ws"])
+        return jax.nn.relu(h) + p["b"]
+
+    with pytest.raises(ValueError, match="unsupported primitive"):
+        TracedModel(
+            f,
+            {"Ws": jnp.zeros((2, 4, 4)), "b": jnp.zeros(4)},
+            jnp.zeros((3, 4)),
+        )
