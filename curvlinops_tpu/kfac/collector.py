@@ -494,10 +494,14 @@ class TracedModel:
         for u in self.layers:
             if u.bias_path is None:
                 continue
+            # bias-only uses of one leaf merge into a single canonical block
+            # downstream (build_groups), so they share one owner token; only
+            # DISTINCT weight owners (or an attached/bias-only mix) would
+            # duplicate the block
             owner = (
                 tuple(u.weight_path)
                 if u.weight_path is not None
-                else ("<bias-only>", u.layer_id)
+                else "<bias-only>"
             )
             bias_owners.setdefault(tuple(u.bias_path), set()).add(owner)
         for bpath, owners in bias_owners.items():
@@ -813,8 +817,12 @@ class TracedModel:
                         self._atom_shape(op.in_atoms[bias_slots[0]])
                     )
                     if layer.kind == "conv":
+                        # out_spec[1] is the channel position in ANY layout
+                        # (NHWC -> trailing, NCHW -> 1); widening to the
+                        # trailing axis would accept a per-width offset as a
+                        # per-channel bias when W_out == C_out
                         dn = layer.meta["dimension_numbers"]
-                        feature_axes = {dn.out_spec[1], operand_ndim - 1}
+                        feature_axes = {dn.out_spec[1]}
                     else:
                         feature_axes = {operand_ndim - 1}
                     if elem_axes is None or any(

@@ -389,14 +389,12 @@ class KFACComputer:
             G_rows = jnp.moveaxis(G_rows, 1, 0)  # [V, L, C]
             if loss_fn.reduction == "mean":
                 G_rows = G_rows / L
-            # ignore_index: the closed-form TYPE2/MC scalings count the
-            # STATIC loss terms; convert to the true masked-loss convention
-            # (the linear Fisher scale static/count; 1 when nothing is
-            # padded). EMPIRICAL rows come from autodiff of the masked loss
-            # and are already true-scaled.
-            corr_eff = correction
-            if fisher_type in (FisherType.TYPE2, FisherType.MC):
-                corr_eff = correction * mean_rescale(loss_fn, y)
+            # ignore_index: the /L division and loss_correction count the
+            # STATIC loss terms for EVERY fisher type (EMPIRICAL rows are
+            # per-row grads, so the same algebra applies); one linear factor
+            # static/count converts to the true masked-loss convention
+            # (exactly 1 when nothing is padded)
+            corr_eff = correction * mean_rescale(loss_fn, y)
             G_pred = self._unflatten_rows(G_rows, jnp.shape(pred))
 
             ios_zero = [jnp.zeros_like(i) for i in ios]

@@ -146,10 +146,9 @@ class EKFACComputer(KFACComputer):
             G_rows = jnp.moveaxis(jax.vmap(grad_output_fn)(rows, y_rows, keys), 1, 0)
             if loss_fn.reduction == "mean":
                 G_rows = G_rows / L
-            # ignore_index static->masked-loss convention (see computer.py)
-            corr_eff = correction
-            if self.fisher_type in (FisherType.TYPE2, FisherType.MC):
-                corr_eff = correction * mean_rescale(loss_fn, y)
+            # ignore_index static->masked-loss convention (see computer.py;
+            # applies to EVERY fisher type)
+            corr_eff = correction * mean_rescale(loss_fn, y)
             G_pred = G_rows.reshape(G_rows.shape[0], *jnp.shape(pred))
             ios_zero = [jnp.zeros_like(i) for i in ios]
             gates_zero = [jnp.zeros_like(g) for g in gates]

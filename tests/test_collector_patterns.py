@@ -220,3 +220,42 @@ def test_bias_on_transformed_scan_output_refused():
             {"Ws": jnp.zeros((2, 4, 4)), "b": jnp.zeros(4)},
             jnp.zeros((3, 4)),
         )
+
+
+def test_nchw_conv_spatial_broadcast_not_bias():
+    """NCHW conv with W_out == C_out: a (C,)-leaf broadcast along the LAST
+    SPATIAL axis must refuse (only out_spec[1] is the channel axis)."""
+
+    def f(p, x):  # x: [B, 3, 6, 6], conv SAME -> [B, 6, 6, 6]
+        z = jax.lax.conv_general_dilated(
+            x, p["W"], (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return z + p["pos"]  # (6,) broadcasts onto the WIDTH axis
+
+    with pytest.raises(ValueError, match="output-feature axis"):
+        TracedModel(
+            f,
+            {"W": jnp.zeros((6, 3, 3, 3)), "pos": jnp.zeros(6)},
+            jnp.zeros((2, 3, 6, 6)),
+        )
+
+
+def test_nchw_conv_channel_bias_accepted():
+    """The genuine NCHW channel bias ((C,1,1) broadcast onto axis 1) stays
+    accepted."""
+
+    def f(p, x):
+        z = jax.lax.conv_general_dilated(
+            x, p["W"], (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return z + p["b"][None, :, None, None]
+
+    tm = TracedModel(
+        f,
+        {"W": jnp.zeros((5, 3, 3, 3)), "b": jnp.zeros(5)},
+        jnp.zeros((2, 3, 6, 6)),
+    )
+    (u,) = tm.layers
+    assert u.kind == "conv" and u.bias_path is not None

@@ -228,3 +228,26 @@ def test_kfac_builds_on_padded_batch():
         )
         v = np.random.default_rng(0).standard_normal(kfac.shape[0])
         assert np.isfinite(kfac @ v.astype(np.float32)).all()
+
+
+def test_padded_kfac_empirical_ggt_equals_truncated():
+    """EMPIRICAL fisher's /L and loss_correction also use STATIC counts,
+    so the mean rescale applies to it too (it was 2/3 off before)."""
+    model, params, X, y = _padded_problem()
+    loss = CrossEntropyLoss("mean")
+
+    def model_trunc(p, x):
+        h = jnp.tanh(x @ p["W"]) @ p["V"]
+        return h[:, :-1].reshape(-1, 4)
+
+    y_trunc = y.reshape(3, 4)[:, :-1].reshape(-1)
+    kw = dict(fisher_type="empirical", check_deterministic=False)
+    pad = cl.KFACLinearOperator(model, loss, params, [(X, y)], **kw)
+    trunc = cl.KFACLinearOperator(
+        model_trunc, loss, params, [(X, y_trunc)], **kw
+    )
+    for gi in pad._ggT:
+        np.testing.assert_allclose(
+            np.asarray(pad._ggT[gi]), np.asarray(trunc._ggT[gi]),
+            rtol=1e-5, atol=1e-7,
+        )
