@@ -376,3 +376,40 @@ def test_kfac_on_huggingface_flax_gpt2():
     np.testing.assert_allclose(
         np.asarray(P @ (PT @ v)), v, rtol=1e-5, atol=1e-6
     )
+
+
+def test_gpt_attention_fused_matches_einsum():
+    """jax.nn.dot_product_attention ('fused') must equal the einsum-softmax
+    path — same weights, same forward, same GGN matvec."""
+    from dataclasses import replace
+
+    config = TINY_GPT
+    params = init_gpt(jax.random.key(0), config)
+    tokens = jax.random.randint(
+        jax.random.key(1), (2, config.block_size), 0, config.vocab_size
+    )
+    out_einsum = gpt_apply(params, tokens, config=config)
+    out_fused = gpt_apply(
+        params, tokens, config=replace(config, attention_impl="fused")
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_einsum), np.asarray(out_fused), rtol=2e-5, atol=2e-5
+    )
+
+    from curvlinops_tpu import CrossEntropyLoss
+
+    y = jax.random.randint(
+        jax.random.key(2), (2 * config.block_size,), 0, config.vocab_size
+    )
+    v = np.random.default_rng(0)
+    ops = []
+    for impl in ["einsum", "fused"]:
+        cfg = replace(config, attention_impl=impl)
+        ops.append(GGNLinearOperator(
+            partial(gpt_apply, config=cfg), CrossEntropyLoss("mean"),
+            params, [(tokens, y)], check_deterministic=False,
+        ))
+    vec = v.standard_normal(ops[0].shape[0]).astype(np.float32)
+    np.testing.assert_allclose(
+        ops[0] @ vec, ops[1] @ vec, rtol=1e-4, atol=1e-5
+    )
