@@ -161,6 +161,22 @@ class LinearOperator:
                 f"NumPy input must be [{size}] or [{size}, K], got {x.shape}."
             )
         spec_leaves, spec_def = jax.tree.flatten(spec)
+        # a bare array against a SINGLE rank-1 leaf spec is ambiguous (tree
+        # and flat interpretations coincide on the input); classify as FLAT
+        # so the RESULT comes back in the documented array-at-the-edge
+        # format — e.g. J^T of a single-leaf input space must return a flat
+        # [P] vector, not the params pytree
+        if (
+            (isinstance(x, jax.Array) or not isinstance(x, (dict, list, tuple)))
+            and hasattr(x, "shape")
+            and len(spec_leaves) == 1
+            and len(spec_leaves[0].shape) == 1
+        ):
+            shp = jnp.shape(x)
+            if len(shp) == 1 and shp[0] == size:
+                return _FMT_FLAT_VEC
+            if len(shp) == 2 and shp[0] == size:
+                return _FMT_FLAT_MAT
         try:
             x_leaves, x_def = jax.tree.flatten(x)
         except Exception:
@@ -242,6 +258,9 @@ class LinearOperator:
         if isinstance(other, np.ndarray) or hasattr(other, "shape"):
             arr = other
             if arr.ndim == 1:
+                # v @ A = A^T v = conj(A^H conj(v)) for complex inputs
+                if np.iscomplexobj(arr):
+                    return (adj @ arr.conj()).conj()
                 return adj @ arr
             if arr.ndim == 2 and arr.shape[1] == self.shape[0]:
                 res = adj @ (arr.conj().T if np.iscomplexobj(arr) else arr.T)
@@ -363,9 +382,12 @@ class LinearOperator:
         :meth:`invalidate_traced` after mutating operator state in place.
         """
         cache = self.__dict__.setdefault("_traced_cache", {})
+        if any(e[2] != _TRACED_EPOCH[0] for e in cache.values()):
+            # some operator was mutated since: drop EVERY stale entry, not
+            # just the requested ncols — other widths' consts tuples pin the
+            # old params and the stacked dataset otherwise
+            cache.clear()
         entry = cache.get(ncols)
-        if entry is not None and entry[2] != _TRACED_EPOCH[0]:
-            entry = None  # some operator was mutated since; re-trace
         if entry is None:
             example = jax.tree.map(
                 lambda s: jax.ShapeDtypeStruct(s.shape + (ncols,), s.dtype),
@@ -476,12 +498,42 @@ class PytreeLinearOperator(LinearOperator):
         return PytreeLinearOperator(rmatvec, self._out_spec, self._in_spec)
 
 
+def _specs_compatible(a: Any, b: Any) -> bool:
+    """Same pytree structure and leaf shapes (dtypes may differ)."""
+    if jax.tree.structure(a) != jax.tree.structure(b):
+        return False
+    return all(
+        la.shape == lb.shape
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def _check_same_space(a: Any, b: Any, what: str) -> None:
+    """Refuse composing operators over structurally different spaces.
+
+    Flat sizes matching is NOT enough: summing/chaining a pytree-space
+    curvature operator with a flat-space matrix operator would pass the
+    size check and then crash (or silently mis-shape) deep inside a jit
+    trace when the wrong structure reaches the other's ``_matmat``.
+    """
+    if not _specs_compatible(a, b):
+        raise ValueError(
+            f"{what}: operator spaces have the same flat size but different "
+            f"pytree structure/shapes "
+            f"({jax.tree.map(lambda s: s.shape, a)} vs "
+            f"{jax.tree.map(lambda s: s.shape, b)}). Wrap one side to the "
+            "other's space (e.g. via to_scipy()/todense for flat interop)."
+        )
+
+
 class SumLinearOperator(LinearOperator):
     """Lazy sum ``A + B`` (``_torch_base.py:595``)."""
 
     def __init__(self, A: LinearOperator, B: LinearOperator):
         if A.shape != B.shape:
             raise ValueError(f"Cannot add operators of shapes {A.shape}, {B.shape}.")
+        _check_same_space(A.in_spec, B.in_spec, "A + B (input space)")
+        _check_same_space(A.out_spec, B.out_spec, "A + B (output space)")
         super().__init__(A.in_spec, A.out_spec)
         self._A, self._B = A, B
         self.SELF_ADJOINT = A.SELF_ADJOINT and B.SELF_ADJOINT
@@ -499,13 +551,15 @@ class ScaledLinearOperator(LinearOperator):
     def __init__(self, A: LinearOperator, scalar):
         super().__init__(A.in_spec, A.out_spec)
         self._A, self._scalar = A, scalar
-        self.SELF_ADJOINT = A.SELF_ADJOINT and not isinstance(scalar, complex)
+        # np.iscomplexobj also catches np.complex64/128 and 0-d complex
+        # jax/numpy arrays, which isinstance(_, complex) misses
+        self.SELF_ADJOINT = A.SELF_ADJOINT and not np.iscomplexobj(scalar)
 
     def _matmat(self, M: Any) -> Any:
         return tree_scale(self._scalar, self._A._matmat(M))
 
     def _adjoint(self) -> LinearOperator:
-        c = np.conj(self._scalar) if isinstance(self._scalar, complex) else self._scalar
+        c = np.conj(self._scalar) if np.iscomplexobj(self._scalar) else self._scalar
         return ScaledLinearOperator(self._A.adjoint(), c)
 
 
@@ -532,6 +586,9 @@ class ChainLinearOperator(LinearOperator):
                 raise ValueError(
                     f"Chain shape mismatch: {left.shape} @ {right.shape}."
                 )
+            _check_same_space(
+                left.in_spec, right.out_spec, "A @ B (inner space)"
+            )
         super().__init__(ops[-1].in_spec, ops[0].out_spec)
         self.ops = list(ops)
 
@@ -548,6 +605,8 @@ class ChainLinearOperator(LinearOperator):
             raise ValueError(
                 f"Replacement operator has shape {op.shape}, expected {old.shape}."
             )
+        _check_same_space(op.in_spec, old.in_spec, "chain[i] = op (input)")
+        _check_same_space(op.out_spec, old.out_spec, "chain[i] = op (output)")
         self.ops[idx] = op
         self.invalidate_traced()
 

@@ -42,6 +42,20 @@ def default_batch_size(X: Any) -> int:
     return int(jnp.shape(leaves[0])[0])
 
 
+def _make_batch_grad_loss(raw: Callable, loss_fn) -> Callable:
+    """The per-batch normalized value-and-grad kernel shared by the
+    streaming (`gradient_and_loss`) and fused (`_fused_gradient_and_loss`)
+    paths — ONE definition so the two can never silently diverge."""
+
+    def batch_grad_loss(frozen, params, X, y, c):
+        def objective(p):
+            return c * loss_fn(raw(frozen, p, X), y)
+
+        return jax.value_and_grad(objective)(params)
+
+    return batch_grad_loss
+
+
 def _num_loss_terms_in_batch(loss_func: Loss, y: Any) -> int:
     """Count loss terms in a batch target, mirroring ``_empirical_risk.py:160-166``."""
     y_shape = jnp.shape(y)
@@ -102,9 +116,12 @@ class EmpiricalRiskOperator(LinearOperator):
     ):
         if not callable(model_fn):
             raise ValueError("model_fn must be a callable (params, X) -> prediction.")
-        if loss_fn is not None and not hasattr(loss_fn, "reduction"):
+        if loss_fn is not None and getattr(loss_fn, "reduction", None) not in (
+            "mean", "sum",
+        ):
             raise ValueError(
-                "loss_fn must expose a `reduction` attribute ('mean' or 'sum'); "
+                "loss_fn must expose a `reduction` attribute equal to 'mean' "
+                f"or 'sum' (got {getattr(loss_fn, 'reduction', None)!r}); "
                 "use the losses in curvlinops_tpu.losses."
             )
         self._model_fn = model_fn
@@ -161,7 +178,10 @@ class EmpiricalRiskOperator(LinearOperator):
             return num_data, num_per_example_loss_terms
 
         n_acc, terms_acc = 0, 0
-        for X, y in self._loop_over_data(desc="data_statistics"):
+        # iterate the raw iterable: this pass reads only host-visible shapes,
+        # and _loop_over_data would device_put/shard every batch onto the
+        # mesh just to discard it
+        for X, y in self._data:
             if need_n:
                 n_acc += self._batch_size_fn(X)
             if need_terms:
@@ -443,15 +463,9 @@ class EmpiricalRiskOperator(LinearOperator):
 
         if "grad_loss" not in self._batch_fn_cache:
             frozen, raw = unwrap_model_fn(self._model_fn)
-            loss_fn = self._loss_fn
-
-            @jax.jit
-            def batch_grad_loss(frozen, params, X, y, c):
-                def objective(p):
-                    return c * loss_fn(raw(frozen, p, X), y)
-
-                return jax.value_and_grad(objective)(params)
-
+            batch_grad_loss = jax.jit(
+                _make_batch_grad_loss(raw, self._loss_fn)
+            )
             self._batch_fn_cache["grad_loss"] = (
                 lambda *args: batch_grad_loss(frozen, *args)
             )
@@ -480,13 +494,7 @@ class EmpiricalRiskOperator(LinearOperator):
         mode, data, cs, keys = cache["fused_state"]
         if "fused_grad_loss" not in cache:
             frozen, raw = unwrap_model_fn(self._model_fn)
-            loss_fn = self._loss_fn
-
-            def batch_grad_loss(frozen, params, X, y, c):
-                def objective(p):
-                    return c * loss_fn(raw(frozen, p, X), y)
-
-                return jax.value_and_grad(objective)(params)
+            batch_grad_loss = _make_batch_grad_loss(raw, self._loss_fn)
 
             if mode == "scan":
 

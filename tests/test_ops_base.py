@@ -145,3 +145,65 @@ def test_scalar_multiply_rejects_arrays():
         jnp.asarray([1.0, 2.0]) * op
     with pytest.raises(ValueError, match="scalar"):
         op / np.asarray([1.0, 2.0])
+
+
+def test_rank1_spec_flat_input_returns_flat():
+    """A bare array against a single rank-1 leaf spec is ambiguous between
+    tree and flat; the result must come back FLAT (the array-at-the-edge
+    contract) — e.g. J^T of a scalar-output model."""
+    import curvlinops_tpu as cl
+
+    params = {"W": jnp.ones((3, 2)) * 0.5, "b": jnp.zeros(2)}
+
+    def model(p, x):  # [N, 3] -> [N] scalar outputs... keep [N, 1] -> [N]
+        return (x @ p["W"] + p["b"]).sum(-1)
+
+    X = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3)), jnp.float32)
+    JT = cl.TransposedJacobianLinearOperator(model, params, [(X, None)])
+    w = np.ones(4, dtype=np.float32)
+    out = JT @ w
+    assert isinstance(out, np.ndarray) and out.shape == (JT.shape[0],)
+    W = np.eye(4, dtype=np.float32)[:, :2]
+    outM = JT @ jnp.asarray(W)
+    assert hasattr(outM, "shape") and outM.shape == (JT.shape[0], 2)
+    dense = JT.todense()  # crashed before the flat classification fix
+    assert dense.shape == tuple(JT.shape)
+
+
+def test_complex_scale_adjoint():
+    """Complex scalars (incl. 0-d arrays) must break SELF_ADJOINT and be
+    conjugated in the adjoint: (iA)^H = -i A^H."""
+    A = MatrixLinearOperator(jnp.eye(3))
+    A.SELF_ADJOINT = True
+    B = jnp.asarray(1j) * A
+    assert not B.SELF_ADJOINT
+    np.testing.assert_allclose(
+        np.asarray(B.T.todense()), -1j * np.eye(3), atol=1e-7
+    )
+
+
+def test_rmatmul_complex_vector():
+    """v @ A must equal A^T v (not A^H v) for complex v."""
+    mat = jnp.asarray(
+        np.random.default_rng(1).normal(size=(3, 3))
+        + 1j * np.random.default_rng(2).normal(size=(3, 3))
+    )
+    A = MatrixLinearOperator(mat)
+    v = np.asarray([1 + 2j, 0.5 - 1j, 3.0], dtype=np.complex64)
+    np.testing.assert_allclose(
+        np.asarray(v @ A), np.asarray(v @ np.asarray(mat)), rtol=1e-5
+    )
+
+
+def test_sum_and_chain_refuse_structurally_different_spaces():
+    """Flat-size-equal but structurally different operators must refuse at
+    construction, not crash inside a later jit trace."""
+    import curvlinops_tpu as cl
+
+    spec = {"a": jax.ShapeDtypeStruct((2, 2), jnp.float32)}
+    P = cl.DiagonalLinearOperator({"a": jnp.ones((2, 2))})
+    F = MatrixLinearOperator(jnp.eye(4))
+    with pytest.raises(ValueError, match="pytree structure"):
+        P + F
+    with pytest.raises(ValueError, match="pytree structure"):
+        P @ F

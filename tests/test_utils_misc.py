@@ -81,3 +81,25 @@ def test_make_functional_call_passthrough_and_error():
     assert make_functional_call(fn) is fn
     with pytest.raises(ValueError):
         make_functional_call(42)
+
+
+def test_unsupported_reduction_refused_at_construction():
+    """A custom loss with reduction='batchmean' must fail with a clear
+    message at construction, not a KeyError in the hot path."""
+    import jax.numpy as jnp
+    import pytest
+
+    import curvlinops_tpu as cl
+
+    class BatchMeanLoss:
+        reduction = "batchmean"
+
+        def __call__(self, pred, y):
+            return jnp.mean(jnp.sum((pred - y) ** 2, -1))
+
+    params = {"W": jnp.ones((2, 2))}
+    data = [(jnp.ones((3, 2)), jnp.ones((3, 2)))]
+    with pytest.raises(ValueError, match="'mean' or 'sum'"):
+        cl.GGNLinearOperator(
+            lambda p, x: x @ p["W"], BatchMeanLoss(), params, data
+        )
