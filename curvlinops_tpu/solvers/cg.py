@@ -53,9 +53,10 @@ def batched_cg(
         preconditioner: Traceable approximate inverse of A.
 
     Returns:
-        ``(X, info)`` where ``info`` has the global iteration count (a
-        scalar: iterations until EVERY column converged or the cap) and the
-        per-column final residual norms.
+        ``(X, info)`` where ``info`` has the global iteration count
+        (``iterations``: until EVERY column converged or the cap), the
+        per-column active-iteration counts (``column_iterations`` [K]),
+        and the per-column final residual norms.
     """
     M = preconditioner or (lambda r: r)
     X0 = x0 if x0 is not None else jax.tree.map(jnp.zeros_like, B)
@@ -69,12 +70,12 @@ def batched_cg(
     rz0 = _col_dot(R0, Z0)
 
     def cond(state):
-        _, R, _, _, _, k = state
+        _, R, _, _, _, k, _ = state
         resid = jnp.sqrt(_col_dot(R, R))
         return jnp.logical_and(k < maxiter, jnp.any(resid > threshold))
 
     def body(state):
-        X, R, Z, P, rz, k = state
+        X, R, Z, P, rz, k, col_iters = state
         resid = jnp.sqrt(_col_dot(R, R))
         active = resid > threshold
         AP = matvec(P)
@@ -86,10 +87,15 @@ def batched_cg(
         rz_new = _col_dot(R, Z)
         beta = jnp.where(active, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
         P = _axpy(beta, P, Z)
-        return X, R, Z, P, rz_new, k + 1
+        return X, R, Z, P, rz_new, k + 1, col_iters + active
 
-    X, R, _, _, _, iters = jax.lax.while_loop(
-        cond, body, (X0, R0, Z0, P0, rz0, jnp.asarray(0))
+    col_iters0 = jnp.zeros_like(normb, dtype=jnp.int32)
+    X, R, _, _, _, iters, col_iters = jax.lax.while_loop(
+        cond, body, (X0, R0, Z0, P0, rz0, jnp.asarray(0), col_iters0)
     )
-    info = {"iterations": iters, "residual_norms": jnp.sqrt(_col_dot(R, R))}
+    info = {
+        "iterations": iters,  # global: until EVERY column converged / cap
+        "column_iterations": col_iters,  # [K] per-column active counts
+        "residual_norms": jnp.sqrt(_col_dot(R, R)),
+    }
     return X, info

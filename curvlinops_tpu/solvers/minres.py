@@ -45,8 +45,10 @@ def batched_minres(
         atol: Absolute residual tolerance floor.
 
     Returns:
-        ``(X, info)`` where ``info`` has the global iteration count and the
-        per-column final residual-norm estimates.
+        ``(X, info)`` where ``info`` has the global iteration count
+        (``iterations``), the per-column active-iteration counts
+        (``column_iterations`` [K]), and the per-column final residual-norm
+        estimates (``residuals``).
     """
     eps = jnp.finfo(jax.tree.leaves(B)[0].dtype).eps
     X0 = x0 if x0 is not None else jax.tree.map(jnp.zeros_like, B)
@@ -75,6 +77,7 @@ def batched_minres(
         beta1,  # eta_j (projected rhs component)
         beta1,  # residual-norm estimate ||r_{j-1}||
         jnp.asarray(0),
+        jnp.zeros_like(beta1, dtype=jnp.int32),  # per-column active counts
     )
 
     def cond(st):
@@ -84,7 +87,8 @@ def batched_minres(
         )
 
     def body(st):
-        (X, V, V_prev, W, W_prev, beta, c, s, c_old, s_old, eta, res, k) = st
+        (X, V, V_prev, W, W_prev, beta, c, s, c_old, s_old, eta, res, k,
+         col_iters) = st
         active = res > threshold
 
         # Lanczos step
@@ -122,9 +126,13 @@ def batched_minres(
             jnp.where(active, c_new, c), jnp.where(active, s_new, s),
             jnp.where(active, c, c_old), jnp.where(active, s, s_old),
             jnp.where(active, eta_new, eta),
-            res_new, k + 1,
+            res_new, k + 1, col_iters + active,
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    info = {"iterations": final[12], "residuals": final[11]}
+    info = {
+        "iterations": final[12],
+        "column_iterations": final[13],
+        "residuals": final[11],
+    }
     return final[0], info
