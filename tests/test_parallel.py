@@ -212,3 +212,44 @@ def test_kfoc_across_mesh(mesh):
     v = np.random.default_rng(3).standard_normal(single.shape[0]).astype(np.float32)
     report_nonclose(sharded @ v, single @ v, rtol=1e-4, atol=1e-6,
                     name="kfoc mesh matvec")
+
+
+def test_minres_solve_across_mesh(mesh):
+    """MINRES through traced() on a mesh-sharded Hessian equals the
+    single-device solve."""
+    from curvlinops_tpu import IdentityLinearOperator, MINRESInverseLinearOperator
+
+    case = make_case("mlp_mse_mean", seed=3)
+    X = jnp.concatenate([case["data"][0][0]] * 2)[:8]
+    y = jnp.concatenate([case["data"][0][1]] * 2)[:8]
+    data = [(X, y)]
+    kw = dict(check_deterministic=False)
+    H1 = HessianLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data, **kw
+    )
+    H2 = HessianLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data, mesh=mesh, **kw
+    )
+    shift = 0.5 * IdentityLinearOperator(H1.in_spec)
+    v = np.random.default_rng(0).normal(size=H1.shape[0]).astype(np.float32)
+    x1 = MINRESInverseLinearOperator(H1 + shift, maxiter=400, tol=1e-9) @ v
+    x2 = MINRESInverseLinearOperator(H2 + shift, maxiter=400, tol=1e-9) @ v
+    report_nonclose(x1, x2, rtol=1e-4, atol=1e-5, name="mesh MINRES")
+
+
+def test_held_linearization_across_mesh(mesh):
+    """op.linearized() on a mesh-sharded GGN equals the single-device held
+    operator."""
+    case = make_case("mlp_ce_mean", seed=4)
+    X = jnp.concatenate([case["data"][0][0]] * 2)[:8]
+    y = jnp.concatenate([case["data"][0][1]] * 2)[:8]
+    data = [(X, y)]
+    kw = dict(check_deterministic=False)
+    G1 = GGNLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data, **kw
+    ).linearized()
+    G2 = GGNLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data, mesh=mesh, **kw
+    ).linearized()
+    v = np.random.default_rng(1).normal(size=G1.shape[0]).astype(np.float32)
+    report_nonclose(G1 @ v, G2 @ v, rtol=1e-5, atol=1e-6, name="mesh held")
