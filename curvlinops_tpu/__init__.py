@@ -32,6 +32,7 @@ from curvlinops_tpu.solvers.lanczos import (
     LanczosApproximateSpectrumCached,
     lanczos_approximate_log_spectrum,
     lanczos_approximate_spectrum,
+    lanczos_eigsh,
 )
 from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator
 from curvlinops_tpu.kfac.kfoc import KFOCLinearOperator
@@ -103,6 +104,7 @@ __all__ = [
     # spectral properties
     "lanczos_approximate_spectrum",
     "lanczos_approximate_log_spectrum",
+    "lanczos_eigsh",
     "LanczosApproximateSpectrumCached",
     "LanczosApproximateLogSpectrumCached",
     "topk_eigenpairs",

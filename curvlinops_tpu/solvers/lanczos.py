@@ -180,15 +180,60 @@ def lanczos_extreme_eigenvalues(
     return program(v0, consts)
 
 
+def lanczos_eigsh(
+    A, which: str = "BE", tol: float = 1e-2, key: jax.Array | None = None
+):
+    """``eigsh``-style extremal-eigenvalue selector, fully on device.
+
+    API-parity counterpart of the reference's ARPACK calls in
+    ``spectrum.py:477-543`` (``eigsh(..., which=...)``), dispatched over the
+    power-1 / power-2 reorthogonalized Lanczos runs:
+
+    - ``"BE"``: both ends — returns ``(lambda_min, lambda_max)`` (signed).
+    - ``"SA"`` / ``"LA"``: smallest / largest algebraic eigenvalue (signed
+      float).
+    - ``"LM"`` / ``"SM"``: largest / smallest MAGNITUDE, returned as the
+      magnitude (the reference applies ``abs`` to these estimates before
+      use, ``spectrum.py:543``). Estimated from Lanczos on ``A^2`` so that
+      indefinite spectra resolve the near-zero end correctly.
+
+    Args:
+        A: Symmetric linear operator (flat ``[dim]`` vectors).
+        which: One of ``{"BE", "SA", "LA", "LM", "SM"}``.
+        tol: Relative accuracy; sets the Lanczos iteration count like the
+            reference's ``eigsh(tol=...)`` default usage.
+        key: PRNG key for the start vector.
+
+    Returns:
+        ``(lambda_min, lambda_max)`` for ``"BE"``; a single float otherwise.
+
+    Raises:
+        ValueError: For an unknown selector.
+    """
+    num_iters = max(8, int(4 / math.sqrt(tol)))
+    if which in ("BE", "SA", "LA"):
+        lo, hi = lanczos_extreme_eigenvalues(A, num_iters=num_iters, key=key)
+        if which == "BE":
+            return float(lo), float(hi)
+        return float(lo) if which == "SA" else float(hi)
+    if which in ("LM", "SM"):
+        lo2, hi2 = lanczos_extreme_eigenvalues(
+            A, num_iters=num_iters, key=key, power=2
+        )
+        sq = lo2 if which == "SM" else hi2
+        return float(jnp.sqrt(jnp.maximum(sq, 0.0)))
+    raise ValueError(
+        f"Unknown selector which={which!r}; expected BE, SA, LA, LM, or SM."
+    )
+
+
 def approximate_boundaries(
     A, tol: float = 1e-2, boundaries=None, key: jax.Array | None = None
 ) -> tuple[float, float]:
     """Estimate ``(lambda_min, lambda_max)`` of a symmetric operator."""
     if boundaries is not None and None not in boundaries:
         return boundaries
-    num_iters = max(8, int(4 / math.sqrt(tol)))
-    lo, hi = lanczos_extreme_eigenvalues(A, num_iters=num_iters, key=key)
-    lo, hi = float(lo), float(hi)
+    lo, hi = lanczos_eigsh(A, which="BE", tol=tol, key=key)
     if boundaries is not None:
         given_lo, given_hi = boundaries
         lo = lo if given_lo is None else given_lo

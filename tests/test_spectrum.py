@@ -41,6 +41,45 @@ def test_boundaries(spd_op):
     assert lo2 == 0.1 and abs(hi2 - evals[-1]) / evals[-1] < 0.02
 
 
+@pytest.fixture
+def indefinite_op():
+    """Indefinite symmetric matrix with distinct |.|-extremes vs signed ones."""
+    key = jax.random.key(7)
+    A = jax.random.normal(key, (60, 60)) / np.sqrt(60)
+    M = (A + A.T) / 2 - 0.3 * jnp.eye(60)
+    return MatrixLinearOperator(M), np.asarray(M)
+
+
+@pytest.mark.parametrize("which", ["BE", "SA", "LA", "LM", "SM"])
+def test_lanczos_eigsh_selectors(indefinite_op, which):
+    """Every eigsh-style selector matches dense ``eigvalsh``."""
+    from curvlinops_tpu import lanczos_eigsh
+
+    op, M = indefinite_op
+    evals = np.linalg.eigvalsh(M)
+    scale = max(abs(evals[0]), abs(evals[-1]))
+    got = lanczos_eigsh(op, which=which, key=jax.random.key(4))
+    if which == "BE":
+        lo, hi = got
+        assert abs(lo - evals[0]) / scale < 0.02
+        assert abs(hi - evals[-1]) / scale < 0.02
+    elif which == "SA":
+        assert abs(got - evals[0]) / scale < 0.02
+    elif which == "LA":
+        assert abs(got - evals[-1]) / scale < 0.02
+    elif which == "LM":
+        assert abs(got - np.abs(evals).max()) / scale < 0.02
+    else:  # SM — near-zero end of |A|; absolute tolerance on the magnitude
+        assert abs(got - np.abs(evals).min()) / scale < 0.05
+
+
+def test_lanczos_eigsh_rejects_unknown_selector(indefinite_op):
+    from curvlinops_tpu import lanczos_eigsh
+
+    with pytest.raises(ValueError, match="selector"):
+        lanczos_eigsh(indefinite_op[0], which="XX")
+
+
 def test_fast_lanczos_full_rank_recovers_eigvals():
     """With ncv == dim and a well-separated spectrum, Ritz == eigenvalues."""
     M = jnp.diag(jnp.asarray([1.0, 3.0, 7.0, 15.0, 40.0]))
