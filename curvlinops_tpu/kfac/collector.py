@@ -835,11 +835,24 @@ class TracedModel:
                         )
                         continue
                     bias_path = self.param_paths[e.leaf]
-                    if layer.bias_path is not None and layer.bias_path != bias_path:
-                        raise ValueError(
-                            f"Layer {layer.name} has conflicting biases "
-                            f"({_path_str(layer.bias_path)} vs {_path_str(bias_path)})."
+                    if layer.bias_path is not None:
+                        if layer.bias_path != bias_path:
+                            raise ValueError(
+                                f"Layer {layer.name} has conflicting biases "
+                                f"({_path_str(layer.bias_path)} vs "
+                                f"{_path_str(bias_path)})."
+                            )
+                        # the SAME bias added a second time along the layer's
+                        # output chain (y = x@W + b + b): the layer equation
+                        # has exactly one homogeneous bias, so re-attaching
+                        # would silently model only one of the adds (found by
+                        # the collector fuzzer, seed 44)
+                        self._flag(
+                            [e.leaf],
+                            "add (bias added more than once to the same "
+                            "layer's output)",
                         )
+                        continue
                     layer.bias_path = bias_path
                     # bias-add output still carries the layer identity
                     produced_by_layer[op.out_keys[0]] = lid

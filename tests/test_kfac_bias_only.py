@@ -118,7 +118,46 @@ def test_bias_only_linear_exact(reduction, approx):
 
 
 def test_tied_bias_only_merges():
-    """The same bias leaf added at two sites forms ONE merged group."""
+    """The same bias leaf added at two PARALLEL sites forms ONE merged group
+    with tied (per-site sharing-axis) accumulation.
+
+    Both sites are built to produce identical output gradients, so the tied
+    block must be exactly 2x the block of the single-site surrogate (where
+    the second site's bias is a closed-over constant) — pinning the per-site
+    ``ggT`` accumulation convention (no cross-site terms), matching the
+    reference's per-module-hook accumulation for tied parameters.
+    """
+    W1, _ = _weights(seed=6)
+    b = 0.1 * jax.random.normal(jax.random.key(7), (4,))
+
+    def tied(p, x):  # identical sites => identical per-site gradients
+        z1 = x @ W1 + p["b"]
+        z2 = x @ W1 + p["b"]
+        return z1 + z2
+
+    def single(p, x):  # site 2's bias closed over as a constant
+        z1 = x @ W1 + p["b"]
+        z2 = x @ W1 + b
+        return z1 + z2
+
+    data = [
+        (jax.random.normal(jax.random.key(8), (4, 5)),
+         jax.random.normal(jax.random.key(9), (4, 4)))
+    ]
+    kw = dict(fisher_type=FisherType.TYPE2, check_deterministic=False)
+    k_tied = KFACLinearOperator(tied, MSELoss("mean"), {"b": b}, data, **kw)
+    k_single = KFACLinearOperator(single, MSELoss("mean"), {"b": b}, data, **kw)
+    assert len(k_tied.groups) == 1
+    report_nonclose(
+        k_tied.todense(), 2.0 * np.asarray(k_single.todense()),
+        rtol=1e-5, atol=1e-7, name="tied bias block",
+    )
+
+
+def test_chained_bias_readd_refused():
+    """Re-adding a bias-only block's bias along its own output chain is
+    refused: only one gradient tap exists, so 'merging' would drop a site
+    (the pre-fix code silently attached and miscomputed)."""
     W1, W2 = _weights(seed=6)
     b = 0.1 * jax.random.normal(jax.random.key(7), (4,))
 
@@ -130,12 +169,11 @@ def test_tied_bias_only_merges():
         (jax.random.normal(jax.random.key(8), (4, 5)),
          jax.random.normal(jax.random.key(9), (4,)))
     ]
-    kfac = KFACLinearOperator(
-        model, MSELoss("mean"), {"b": b}, data,
-        fisher_type=FisherType.TYPE2, check_deterministic=False,
-    )
-    assert len(kfac.groups) == 1
-    assert kfac.todense().shape == (4, 4)
+    with pytest.raises(ValueError, match="more than once"):
+        KFACLinearOperator(
+            model, MSELoss("mean"), {"b": b}, data,
+            fisher_type=FisherType.TYPE2, check_deterministic=False,
+        )
 
 
 def test_bias_only_refusals():
@@ -153,5 +191,24 @@ def test_bias_only_refusals():
         KFACLinearOperator(
             bad_shape, MSELoss("mean"),
             {"b": jnp.ones(3)}, data,
+            fisher_type=FisherType.TYPE2, check_deterministic=False,
+        )
+
+
+def test_bias_added_twice_to_same_layer_refused():
+    """``x @ W + b + b`` must refuse — re-attaching the SAME bias silently
+    modeled only one add (gradient off by 2x; collector fuzzer seed 44)."""
+    data = [
+        (jax.random.normal(jax.random.key(13), (3, 5)),
+         jax.random.normal(jax.random.key(14), (3, 4)))
+    ]
+
+    def double_bias(p, x):
+        return x @ p["W"] + p["b"] + p["b"]
+
+    params = {"W": jnp.ones((5, 4)), "b": jnp.ones(4)}
+    with pytest.raises(ValueError, match="more than once"):
+        KFACLinearOperator(
+            double_bias, MSELoss("mean"), params, data,
             fisher_type=FisherType.TYPE2, check_deterministic=False,
         )
