@@ -131,17 +131,51 @@ def main() -> None:
 
     run_chain(5)  # pipeline warmup
     # marginal rate between two chain lengths cancels every fixed overhead
-    # (dispatch latency, readback, tunnel round trips)
+    # (dispatch latency, readback, tunnel round trips); MEDIAN of 3 repeats
+    # so one tunnel hiccup in either direction cannot move the headline
+    # (fp32 straddled the 10x line across sessions on best-of noise alone)
     n1, n2 = REPEATS // 5, REPEATS
-    best = float("inf")
+    rates = []
     for _ in range(3):
         t1, t2 = run_chain(n1), run_chain(n2)
-        best = min(best, (t2 - t1) / (n2 - n1))
+        rates.append((t2 - t1) / (n2 - n1))
+    ms = sorted(rates)[1] * 1e3
 
-    ms = best * 1e3
+    # bf16 storage run: half the HBM traffic on the conv/matmul operands —
+    # the dtype large-scale users actually run; reported alongside fp32
+    prob_b = cifar10_resnet18(batch_size=512, dtype=jnp.bfloat16)
+    Xb, yb = prob_b.data[0]
+    params_b = prob_b.params
+    Mb = jax.tree.map(
+        lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), params_b
+    )
+    jitted_b = jax.jit(lambda m, p, X, y: kernel(p, X, y, m, c, key))
+    matvec_b = lambda m: jitted_b(m, params_b, Xb, yb)  # noqa: E731
+
+    def run_chain_b(n: int) -> float:
+        t0 = time.perf_counter()
+        o = Mb
+        for _ in range(n):
+            o = matvec_b(o)
+        float(jnp.sum(jax.tree.leaves(o)[0].astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(matvec_b(Mb))
+    print(f"bf16 compile+first run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    run_chain_b(5)
+    rates_b = []
+    for _ in range(3):
+        t1, t2 = run_chain_b(n1), run_chain_b(n2)
+        rates_b.append((t2 - t1) / (n2 - n1))
+    ms_b = sorted(rates_b)[1] * 1e3
+
     if not ms > 0:  # noise/misbehaving barrier: report a sentinel, not 1/0
         print(f"WARNING: non-positive marginal rate {ms} ms", file=sys.stderr)
         ms = float("nan")
+    if not ms_b > 0:
+        ms_b = float("nan")
     print(
         json.dumps(
             {
@@ -150,6 +184,14 @@ def main() -> None:
                 "unit": "ms",
                 "vs_baseline": (
                     round(BASELINE_COMPILED_MS / ms, 2) if ms == ms else None
+                ),
+                # baseline is an RTX A6000 torch.compile run (BASELINE.md);
+                # an A100 is ~1.3-2x an A6000 on these workloads, so divide
+                # vs_baseline accordingly for an A100-relative margin
+                "bf16_ms": round(ms_b, 3) if ms_b == ms_b else None,
+                "bf16_vs_baseline": (
+                    round(BASELINE_COMPILED_MS / ms_b, 2) if ms_b == ms_b
+                    else None
                 ),
             }
         )

@@ -92,6 +92,21 @@ def bench_matvec_operator(make_kernel, prob) -> float:
     return ms
 
 
+def _held_remat_for(prob):
+    """Remat policy for ``linearized()`` on transformer problems: holding the
+    full linearization of a T=1024 attention stack overflows HBM (the
+    [B, H, T, T] residuals alone are ~2.9 GiB per batch; the Hessian's
+    double-linearization OOMed at 18.9/15.7 GiB on v5e) — hold only the
+    d_model-wide activations ([B, T, 768] = 12 MiB each; measured total
+    args 12 GiB under a 64 MiB limit vs 15.75 GiB HBM) and recompute the
+    4x-wide MLP intermediates and attention products per matvec."""
+    from curvlinops_tpu.curvature.held import save_smaller_than
+
+    if prob.name in ("synthetic_shakespeare_nanogpt", "synthetic_cifar10_vit"):
+        return save_smaller_than(16 << 20)
+    return None
+
+
 def bench_held_matvec(prob, op_cls, **op_kwargs) -> float:
     """Device-time (ms) of one matvec with the model linearization HELD on
     device (``op.linearized()``): the primal forward (and, for the Hessian,
@@ -104,7 +119,7 @@ def bench_held_matvec(prob, op_cls, **op_kwargs) -> float:
         check_deterministic=False,
         **op_kwargs,
     )
-    held = op.linearized()
+    held = op.linearized(remat=_held_remat_for(prob))
     apply_jit, state, c = held._held[0]
     M = jax.tree.map(lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), prob.params)
     # c is already the device scalar HeldLinearizationOperator pre-transferred

@@ -43,6 +43,53 @@ from curvlinops_tpu.utils.misc import unwrap_model_fn
 from curvlinops_tpu.utils.flatten import spec_of as _struct_of  # noqa: E402
 
 
+def save_smaller_than(limit_bytes: int) -> Callable:
+    """A :func:`jax.checkpoint` policy holding only small residuals.
+
+    Heuristic: a primitive's outputs are saveable iff none of its operands
+    (and, for ``dot_general``, its computed output) exceeds ``limit_bytes``.
+    On transformers this drops the ``[B, H, T, T]`` attention products —
+    the residuals that blow up held-linearization memory at long sequence
+    length — while holding everything activation-sized; the dropped values
+    are recomputed from the held inputs inside each matvec.
+    """
+    import numpy as np
+    from jax._src import lax as lax_internal
+
+    def _nbytes(aval) -> int:
+        try:
+            return int(np.prod(aval.shape)) * aval.dtype.itemsize
+        except Exception:
+            return 0
+
+    def policy(prim, *args, **params) -> bool:
+        sizes = [_nbytes(a) for a in args if hasattr(a, "shape")]
+        if prim is lax_internal.dot_general_p and len(args) >= 2:
+            (lc, rc), (lb, rb) = params["dimension_numbers"]
+            lhs, rhs = args[0], args[1]
+            batch = [lhs.shape[d] for d in lb]
+            lfree = [
+                s for d, s in enumerate(lhs.shape) if d not in (*lc, *lb)
+            ]
+            rfree = [
+                s for d, s in enumerate(rhs.shape) if d not in (*rc, *rb)
+            ]
+            out_elems = int(np.prod(batch + lfree + rfree))
+            sizes.append(out_elems * lhs.dtype.itemsize)
+        return max(sizes, default=0) < limit_bytes
+
+    return policy
+
+
+def _maybe_remat(f: Callable, remat) -> Callable:
+    """Wrap ``f`` in :func:`jax.checkpoint` per the ``remat`` spec."""
+    if remat is None:
+        return f
+    if remat is True:
+        return jax.checkpoint(f)
+    return jax.checkpoint(f, policy=remat)
+
+
 def _split_linearize(f: Callable, params: Any, p_struct: Any, holder: dict):
     """Linearize ``f`` at ``params``; hoist the residuals out of the closure.
 
@@ -53,8 +100,13 @@ def _split_linearize(f: Callable, params: Any, p_struct: Any, holder: dict):
     :meth:`curvlinops_tpu.ops.base.LinearOperator.traced` — NOT
     ``jax.closure_convert``, which only hoists inexact-dtype residuals and
     leaks e.g. ReLU's boolean masks as outer-trace tracers.
+
+    ``holder['remat']`` (set by :func:`_kernels_for`) bounds which residuals
+    are held: under a checkpoint policy, non-saveable intermediates are
+    recomputed inside the linear function from the held inputs instead of
+    being hoisted as consts.
     """
-    primal, jvp_fn = jax.linearize(f, params)
+    primal, jvp_fn = jax.linearize(_maybe_remat(f, holder.get("remat")), params)
 
     flat_ex, in_tree = jax.tree.flatten(p_struct)
     out_tree_store = []
@@ -309,7 +361,7 @@ def _hessian_kernels(op, raw: Callable, holder: dict):
     return build, make_apply
 
 
-def _kernels_for(op) -> tuple[Any, Callable, Callable, dict, str]:
+def _kernels_for(op, remat=None) -> tuple[Any, Callable, Callable, dict, str]:
     from curvlinops_tpu.curvature.ef import EFLinearOperator
     from curvlinops_tpu.curvature.ggn import GGNLinearOperator
     from curvlinops_tpu.curvature.hessian import HessianLinearOperator
@@ -318,7 +370,7 @@ def _kernels_for(op) -> tuple[Any, Callable, Callable, dict, str]:
         TransposedJacobianLinearOperator,
     )
 
-    holder: dict = {}
+    holder: dict = {"remat": remat}
     frozen, raw = unwrap_model_fn(op._model_fn)
     combine = "accumulate"
     if isinstance(op, HessianLinearOperator):
@@ -353,11 +405,12 @@ class HeldLinearizationOperator(LinearOperator):
     Built via ``base.linearized()``; do not construct directly.
     """
 
-    def __init__(self, base) -> None:
+    def __init__(self, base, remat=None) -> None:
         super().__init__(base.in_spec, base.out_spec)
         self.SELF_ADJOINT = base.SELF_ADJOINT
         self._base = base
-        frozen, build, make_apply, holder, combine = _kernels_for(base)
+        self._remat = remat
+        frozen, build, make_apply, holder, combine = _kernels_for(base, remat)
         self._combine = combine
         build_jit = jax.jit(build)
         base_key = jax.random.key(base._seed)
@@ -414,4 +467,4 @@ class HeldLinearizationOperator(LinearOperator):
         """Adjoint = the held linearization of the base's adjoint (used by
         the non-self-adjoint Jacobian pair; curvature operators are
         ``SELF_ADJOINT`` and never reach this)."""
-        return self._base.adjoint().linearized()
+        return self._base.adjoint().linearized(remat=self._remat)

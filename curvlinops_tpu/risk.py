@@ -241,7 +241,7 @@ class EmpiricalRiskOperator(LinearOperator):
             self._loss_fn.reduction
         ]
 
-    def linearized(self) -> "LinearOperator":
+    def linearized(self, remat=None) -> "LinearOperator":
         """Hold the per-batch model linearizations on device.
 
         Returns an operator computing the SAME matrix whose matvecs skip the
@@ -250,10 +250,21 @@ class EmpiricalRiskOperator(LinearOperator):
         trade for iterative workloads (solves, spectra, estimation) against
         fixed data, at the memory cost of one batch's activations. See
         :class:`curvlinops_tpu.curvature.held.HeldLinearizationOperator`.
+
+        Args:
+            remat: Bound the held-residual memory by rematerializing part of
+                the linearization inside each matvec. ``None`` (default)
+                holds every residual; ``True`` wraps the model in
+                :func:`jax.checkpoint` (recompute everything from the held
+                inputs); a :mod:`jax.checkpoint_policies`-style callable
+                selects which residuals to hold (see
+                :func:`curvlinops_tpu.curvature.held.save_smaller_than` —
+                attention-scale ``[B, H, T, T]`` tensors are the usual
+                offenders on transformers).
         """
         from curvlinops_tpu.curvature.held import HeldLinearizationOperator
 
-        return HeldLinearizationOperator(self)
+        return HeldLinearizationOperator(self, remat=remat)
 
     # ------------------------------------------------------------------ #
     # The hot path: accumulated per-batch matmat
