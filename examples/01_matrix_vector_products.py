@@ -60,12 +60,18 @@ def main():
     # verify against dense ground truths
     H_mat = dense_hessian(model_fn, loss_fn, params, data)
     G_mat = dense_ggn(model_fn, loss_fn, params, data)
-    print("Hessian matches dense:", np.allclose(H @ v, H_mat @ v, atol=1e-5))
-    print("GGN matches dense:    ", np.allclose(G @ v, G_mat @ v, atol=1e-5))
+    hessian_ok = np.allclose(H @ v, H_mat @ v, atol=1e-5)
+    ggn_ok = np.allclose(G @ v, G_mat @ v, atol=1e-5)
+    print("Hessian matches dense:", hessian_ok)
+    print("GGN matches dense:    ", ggn_ok)
+    assert hessian_ok and ggn_ok, "matvecs deviate from the dense oracles"
 
     # operator algebra: damped GGN
     damped = G + 1e-2 * cl.IdentityLinearOperator(G.in_spec)
-    print("damped GGN trace:", float(cl.hutchinson_trace(damped, 64)))
+    tr = float(cl.hutchinson_trace(damped, 64))
+    print("damped GGN trace:", tr)
+    tr_exact = float(np.trace(np.asarray(G_mat))) + 1e-2 * D
+    assert abs(tr - tr_exact) / tr_exact < 0.25, (tr, tr_exact)
 
 
 if __name__ == "__main__":

@@ -40,7 +40,9 @@ def main():
     grid, density = cl.lanczos_approximate_spectrum(
         damped, ncv=64, num_points=512, num_repeats=4
     )
-    print("density integral:", float(jnp.trapezoid(density, grid)))
+    mass = float(jnp.trapezoid(density, grid))
+    print("density integral:", mass)
+    assert abs(mass - 1.0) < 0.05, f"spectral density mass {mass} != 1"
 
     # log-spectrum for many-decades spectra
     grid_log, density_log = cl.lanczos_approximate_log_spectrum(
@@ -60,6 +62,10 @@ def main():
     held = G.linearized() + 1e-3 * cl.IdentityLinearOperator(G.in_spec)
     evals_held, _ = cl.topk_eigenpairs(held, k=5, maxiter=200)
     print("top-5 via held linearization:", np.asarray(evals_held).round(5))
+    # held linearization computes the SAME matrix
+    assert np.allclose(
+        np.asarray(evals_held), np.asarray(evals), rtol=1e-3
+    ), "held-linearization eigenvalues deviate from the direct operator's"
 
 
 if __name__ == "__main__":

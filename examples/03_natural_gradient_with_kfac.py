@@ -64,10 +64,19 @@ def main():
         b = np.concatenate([np.ravel(x) for x in jax.tree.leaves(b)])
         return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
 
-    print("cos(KFAC natgrad, exact):", round(angle(nat_kfac, nat_exact), 4))
-    print("cos(EKFAC natgrad, exact):", round(angle(nat_ekfac, nat_exact), 4))
-    print("cos(gradient, exact):     ", round(angle(grad, nat_exact), 4))
+    cos_kfac = angle(nat_kfac, nat_exact)
+    cos_ekfac = angle(nat_ekfac, nat_exact)
+    cos_grad = angle(grad, nat_exact)
+    print("cos(KFAC natgrad, exact):", round(cos_kfac, 4))
+    print("cos(EKFAC natgrad, exact):", round(cos_ekfac, 4))
+    print("cos(gradient, exact):     ", round(cos_grad, 4))
     print("CG iterations:", int(cg.last_info["iterations"]))
+    # the headline claim: KFAC/EKFAC preconditioning points closer to the
+    # exact natural gradient than the raw gradient does
+    assert cos_kfac > cos_grad and cos_ekfac > cos_grad, (
+        cos_kfac, cos_ekfac, cos_grad,
+    )
+    assert int(cg.last_info["iterations"]) < 500, "CG failed to converge"
 
 
 if __name__ == "__main__":

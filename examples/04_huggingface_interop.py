@@ -68,11 +68,16 @@ def main():
         FrozenModelFn(raw_fn, frozen), loss_fn, kfac_params, data,
         fisher_type="mc", mc_samples=1, check_deterministic=False,
     )
-    print(f"KFAC groups discovered on the stock model: "
-          f"{[g.name for g in kfac.groups if g.weight_path]}")
+    weight_groups = [g.name for g in kfac.groups if g.weight_path]
+    print(f"KFAC groups discovered on the stock model: {weight_groups}")
+    # the jaxpr collector must find every dense sublayer of the stock
+    # transformer block (2 blocks x [attn qkv, attn proj, mlp in, mlp out])
+    assert len(weight_groups) == 8, weight_groups
     w = rng.standard_normal(kfac.shape[0]).astype(np.float32)
     nat = kfac.inverse(damping=1e-2, use_exact_damping=True) @ w
-    print("  KFAC-preconditioned vector norm:", float(np.linalg.norm(nat)))
+    nat_norm = float(np.linalg.norm(nat))
+    print("  KFAC-preconditioned vector norm:", nat_norm)
+    assert np.isfinite(nat_norm) and nat_norm > 0
 
 
 if __name__ == "__main__":

@@ -55,8 +55,10 @@ def main():
                      ("xtrace", cl.xtrace)]:
         matvecs = 60 if name != "hutch++" else 60
         est = float(fn(damped, matvecs, key=jax.random.key(5)))
+        rel = abs(est - exact_trace) / exact_trace
         print(f"  {name:10s} ({matvecs} matvecs): {est:9.4f} "
-              f"(exact {exact_trace:.4f}, rel err {abs(est-exact_trace)/exact_trace:.1%})")
+              f"(exact {exact_trace:.4f}, rel err {rel:.1%})")
+        assert rel < 0.10, (name, est, exact_trace)
 
     # --- diagonal and squared Frobenius norm ------------------------------
     diag_est = cl.xdiag(damped, 120, key=jax.random.key(6))
@@ -72,11 +74,13 @@ def main():
                              key=jax.random.key(8)))
     ld_true = float(np.linalg.slogdet(np.asarray(damped.todense()))[1])
     print(f"  slq_logdet: {ld:.4f} (exact {ld_true:.4f})")
+    assert abs(ld - ld_true) / abs(ld_true) < 0.02, (ld, ld_true)
     tr_inv = float(cl.slq_function_trace(damped, lambda t: 1.0 / t, ncv=64,
                                          num_repeats=32,
                                          key=jax.random.key(9)))
     tr_inv_true = float(np.trace(np.linalg.inv(np.asarray(damped.todense()))))
     print(f"  slq tr(A^-1): {tr_inv:.4f} (exact {tr_inv_true:.4f})")
+    assert abs(tr_inv - tr_inv_true) / tr_inv_true < 0.05, (tr_inv, tr_inv_true)
 
 
 if __name__ == "__main__":

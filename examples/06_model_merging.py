@@ -131,6 +131,9 @@ def main():
         f <= n for f, n in zip(losses["F"], losses["Naive"])
     )
     print(f"\nfull-Fisher merging beats naive averaging on {better}/{T_TASKS} tasks")
+    # the headline claim of Fisher-weighted merging (seeded run: 3/3)
+    assert better >= T_TASKS - 1, losses
+    assert sum(losses["F"]) < sum(losses["Naive"]), losses
 
 
 if __name__ == "__main__":

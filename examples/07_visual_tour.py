@@ -79,10 +79,19 @@ def main():
     }
 
     ggn = mats["GGN"]
+    rels = {}
     for name, mat in mats.items():
-        rel = np.linalg.norm(mat - ggn) / np.linalg.norm(ggn)
+        rels[name] = np.linalg.norm(mat - ggn) / np.linalg.norm(ggn)
         print(f"{name:17s} ||A||_F = {np.linalg.norm(mat):8.4f}   "
-              f"||A - GGN||_F / ||GGN||_F = {rel:6.4f}")
+              f"||A - GGN||_F / ||GGN||_F = {rels[name]:6.4f}")
+    # every operator must be symmetric; the approximation ordering the tour
+    # illustrates must hold (the KFAC family sits closer to the GGN than
+    # the empirical Fisher; EKFAC is optimal in the KFAC eigenbasis, not in
+    # Frobenius distance, so no EKFAC<=KFAC claim)
+    for name, mat in mats.items():
+        assert np.allclose(mat, mat.T, atol=1e-4), f"{name} not symmetric"
+    assert rels["GGN"] == 0.0
+    assert max(rels["KFAC"], rels["EKFAC"]) < rels["Empirical Fisher"], rels
 
     try:
         import matplotlib.pyplot as plt

@@ -61,13 +61,16 @@ def main():
     # the error should shrink roughly like 1/sqrt(M)
     rate = np.log(errors[256] / errors[1]) / np.log(256)
     print(f"observed convergence rate: M^{rate:.2f}  (expected ~ M^-0.5)")
+    assert rate < -0.35, f"MC-Fisher not converging to the GGN: rate M^{rate:.2f}"
 
     # the empirical Fisher (outer product of TRUE-label gradients) is a
     # different matrix — it does not converge to the GGN
     ef = cl.EFLinearOperator(model_fn, loss_fn, params, data) @ identity
-    print("empirical Fisher distance:",
-          round(float(np.linalg.norm(ef - ggn) / ggn_norm), 4),
-          "(does not vanish)")
+    ef_dist = float(np.linalg.norm(ef - ggn) / ggn_norm)
+    print("empirical Fisher distance:", round(ef_dist, 4), "(does not vanish)")
+    assert ef_dist > 5 * errors[256], (
+        "the empirical Fisher should stay far from the GGN while MC converges"
+    )
 
 
 if __name__ == "__main__":

@@ -58,6 +58,7 @@ def main():
     v = np.random.default_rng(0).standard_normal(single.shape[0]).astype("f")
     err = np.abs(np.asarray(sharded @ v) - np.asarray(single @ v)).max()
     print(f"GGN matvec, sharded vs single-device: max |diff| = {err:.2e}")
+    assert err < 1e-4, "mesh-sharded GGN deviates from single-device"
 
     # KFAC factor accumulation psums the per-shard covariances the same way
     kfac = cl.KFACLinearOperator(model_fn, loss_fn, params, data,
@@ -68,6 +69,7 @@ def main():
                                         check_deterministic=False)
     err = np.abs(kfac.todense() - kfac_single.todense()).max()
     print(f"KFAC factors, sharded vs single-device: max |diff| = {err:.2e}")
+    assert err < 1e-4, "mesh-sharded KFAC deviates from single-device"
 
     # large models: shard parameters over a second (model) axis
     if n_dev >= 4:
@@ -79,6 +81,7 @@ def main():
                                   mesh=mesh2, check_deterministic=False)
         err = np.abs(np.asarray(op @ v) - np.asarray(single @ v)).max()
         print(f"2D (data x model) mesh GGN matvec:     max |diff| = {err:.2e}")
+        assert err < 1e-4, "2D-mesh GGN deviates from single-device"
 
 
 if __name__ == "__main__":

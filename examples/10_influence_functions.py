@@ -97,6 +97,10 @@ def main():
     print("most helpful train idxs (GGN):", order[-3:].tolist())
     corr = np.corrcoef(infl_ggn, infl_hess)[0, 1]
     print(f"GGN-vs-Hessian influence rank agreement (corr): {corr:.3f}")
+    # the two curvature choices must broadly agree on influence (seeded
+    # run: 0.42), and the extremes must be distinct examples
+    assert corr > 0.2, corr
+    assert not set(order[:3].tolist()) & set(order[-3:].tolist())
 
 
 if __name__ == "__main__":
