@@ -109,37 +109,52 @@ def main() -> None:
     # params/X/y enter as jit ARGUMENTS — closure capture would embed ~51MB
     # of HLO constants (CLAUDE.md: the remote compile service rejects >100MB
     # bodies; this template must survive bigger models/batches)
-    jitted = jax.jit(lambda m, p, X, y: kernel(p, X, y, m, c, key))
-    matvec = lambda m: jitted(m, prob.params, X, y)  # noqa: E731
-
-    # warm up (compile)
-    t0 = time.perf_counter()
-    out = matvec(M)
-    jax.block_until_ready(out)
-    compile_s = time.perf_counter() - t0
-    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
-
-    def run_chain(n: int) -> float:
-        """Wall time of n data-dependent matvecs, host-readback barrier."""
-        t0 = time.perf_counter()
-        o = M
-        for _ in range(n):
-            o = matvec(o)
-        # pull one scalar to host: completion cannot be faked by the runtime
-        float(jnp.sum(jax.tree.leaves(o)[0]))
-        return time.perf_counter() - t0
-
-    run_chain(5)  # pipeline warmup
-    # marginal rate between two chain lengths cancels every fixed overhead
-    # (dispatch latency, readback, tunnel round trips); MEDIAN of 3 repeats
-    # so one tunnel hiccup in either direction cannot move the headline
-    # (fp32 straddled the 10x line across sessions on best-of noise alone)
     n1, n2 = REPEATS // 5, REPEATS
-    rates = []
-    for _ in range(3):
-        t1, t2 = run_chain(n1), run_chain(n2)
-        rates.append((t2 - t1) / (n2 - n1))
-    ms = sorted(rates)[1] * 1e3
+
+    def make_loops(kern, cc, kk):
+        """Two fori_loop programs iterating the matvec n1/n2 times.
+
+        The marginal rate between the two loop lengths is pure device time:
+        per-DISPATCH overhead (~1.5 ms/link through this tunnel,
+        `benchmarks/profile_solver_gap.py` A-vs-B) rides every link of a
+        host-chained measurement and does NOT cancel in its marginal rate,
+        while the loop form pays dispatch once per program. Iterations stay
+        data-dependent (each consumes the previous product), so the runtime
+        cannot pipeline or elide them; the torch.compile baseline is a
+        steady-state device rate too, so this is the fair comparison.
+        """
+        def loop(n):
+            @jax.jit
+            def run(m, p, X, y):
+                return jax.lax.fori_loop(
+                    0, n, lambda _, mm: kern(p, X, y, mm, cc, kk), m
+                )
+            return run
+        return loop(n1), loop(n2)
+
+    def median_loop_rate(loop1, loop2, M, *args) -> float:
+        def one_shot(loop) -> float:
+            t0 = time.perf_counter()
+            o = loop(M, *args)
+            # pull one scalar to host: completion cannot be faked
+            float(jnp.sum(jax.tree.leaves(o)[0].astype(jnp.float32)))
+            return time.perf_counter() - t0
+
+        one_shot(loop1), one_shot(loop2)  # pipeline warmup
+        # MEDIAN of 3 so one tunnel hiccup cannot move the headline
+        # (fp32 straddled the 10x line across sessions on best-of noise)
+        rates = []
+        for _ in range(3):
+            t1, t2 = one_shot(loop1), one_shot(loop2)
+            rates.append((t2 - t1) / (n2 - n1))
+        return sorted(rates)[1] * 1e3
+
+    t0 = time.perf_counter()
+    loop1, loop2 = make_loops(kernel, c, key)
+    jax.block_until_ready(loop1(M, prob.params, X, y))
+    print(f"compile+first run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    ms = median_loop_rate(loop1, loop2, M, prob.params, X, y)
 
     # bf16 storage run: half the HBM traffic on the conv/matmul operands —
     # the dtype large-scale users actually run; reported alongside fp32
@@ -149,27 +164,12 @@ def main() -> None:
     Mb = jax.tree.map(
         lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), params_b
     )
-    jitted_b = jax.jit(lambda m, p, X, y: kernel(p, X, y, m, c, key))
-    matvec_b = lambda m: jitted_b(m, params_b, Xb, yb)  # noqa: E731
-
-    def run_chain_b(n: int) -> float:
-        t0 = time.perf_counter()
-        o = Mb
-        for _ in range(n):
-            o = matvec_b(o)
-        float(jnp.sum(jax.tree.leaves(o)[0].astype(jnp.float32)))
-        return time.perf_counter() - t0
-
     t0 = time.perf_counter()
-    jax.block_until_ready(matvec_b(Mb))
+    loop1_b, loop2_b = make_loops(kernel, c, key)
+    jax.block_until_ready(loop1_b(Mb, params_b, Xb, yb))
     print(f"bf16 compile+first run: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
-    run_chain_b(5)
-    rates_b = []
-    for _ in range(3):
-        t1, t2 = run_chain_b(n1), run_chain_b(n2)
-        rates_b.append((t2 - t1) / (n2 - n1))
-    ms_b = sorted(rates_b)[1] * 1e3
+    ms_b = median_loop_rate(loop1_b, loop2_b, Mb, params_b, Xb, yb)
 
     if not ms > 0:  # noise/misbehaving barrier: report a sentinel, not 1/0
         print(f"WARNING: non-positive marginal rate {ms} ms", file=sys.stderr)

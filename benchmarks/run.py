@@ -36,12 +36,80 @@ import jax.numpy as jnp
 
 REPEATS_IN_LOOP = 100
 TIMED_RUNS = 3
+TIMING = "loop"  # set from --timing; "chain" = legacy host-dispatch chains
 def _device_peak_memory_gib() -> float | None:
     try:
         stats = jax.local_devices()[0].memory_stats()
         return stats.get("peak_bytes_in_use", 0) / 2**30
     except Exception:
         return None
+
+
+def _peak_flops_per_s() -> float | None:
+    """Dense-matmul peak of the benchmark device, for MFU.
+
+    TPU v5e (v5 lite): 197 TFLOP/s bf16 MXU peak — the right denominator
+    for BOTH dtypes here because XLA lowers f32 matmuls/convs to bf16 MXU
+    passes by default on this runtime (CLAUDE.md). Non-TPU backends return
+    None (MFU vs a host CPU would be meaningless).
+    """
+    kind = str(jax.devices()[0])
+    if "TPU v5" in kind or "TPU v6" in kind:
+        return 197e12
+    if "TPU" in kind:
+        return 275e12  # v4 bf16 peak; only v5 is expected here
+    return None
+
+
+def _compiled_stats(jitted, *args) -> dict:
+    """FLOPs + compile-time peak-memory of an already-compiled jit program.
+
+    Uses the AOT path (``lower().compile()``): with the persistent compile
+    cache on and the program already executed once, this re-serves the
+    cached binary instead of re-compiling remotely. The tunnel backend
+    exposes no RUNTIME memory stats, so compile-time ``memory_analysis``
+    (argument/output/temp sizes) is the per-program memory ledger — same
+    mechanism as ``reduce_memory_ab.py``. Returns {} for non-jit callables.
+    """
+    stats: dict = {}
+    if not hasattr(jitted, "lower"):
+        return stats
+    try:
+        compiled = jitted.lower(*args).compile()
+    except Exception as e:  # noqa: BLE001 — stats must never fail a run
+        print(f"compiled-stats unavailable: {e}", file=sys.stderr)
+        return stats
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            stats["flops"] = flops
+    except Exception:
+        pass
+    try:
+        mem = compiled.memory_analysis()
+        stats["temp_gib"] = round(mem.temp_size_in_bytes / 2**30, 3)
+        stats["args_gib"] = round(mem.argument_size_in_bytes / 2**30, 3)
+    except Exception:
+        pass
+    return stats
+
+
+def _attach_stats(results: dict, label: str, ms: float, stats: dict) -> None:
+    """Record MFU / FLOPs / peak-temp columns next to a timing row."""
+    if not stats:
+        return
+    peak = _peak_flops_per_s()
+    if stats.get("flops"):
+        results[f"{label} flops (G)"] = round(stats["flops"] / 1e9, 2)
+        if peak and ms > 0:
+            mfu = stats["flops"] / (ms / 1e3) / peak * 100
+            results[f"{label} MFU (%)"] = round(mfu, 1)
+    if stats.get("temp_gib") is not None:
+        results[f"{label} peak temp (GiB)"] = stats["temp_gib"]
+        results[f"{label} args (GiB)"] = stats["args_gib"]
 
 
 def _timed_chain(kernel_apply, init, *args, jit: bool = True) -> tuple[float, object]:
@@ -71,10 +139,68 @@ def _timed_chain(kernel_apply, init, *args, jit: bool = True) -> tuple[float, ob
     for _ in range(TIMED_RUNS):
         t1, t2 = run_chain(n1), run_chain(n2)
         best = min(best, (t2 - t1) / (n2 - n1))
-    return max(best, 0.0) * 1e3, out
+    return max(best, 0.0) * 1e3, out, _compiled_stats(fn, init, *args)
 
 
-def bench_matvec_operator(make_kernel, prob) -> float:
+def _timed_loop(kernel_apply, init, *args) -> tuple[float, object, dict]:
+    """Per-application device time via ``lax.fori_loop`` embedding.
+
+    `profile_solver_gap.py` measured ~1.5 ms of per-DISPATCH overhead on
+    every link of a host-chained measurement through this tunnel — a cost
+    the chain's marginal rate does NOT cancel (each extra link pays it).
+    Iterating the identical kernel inside ONE loop program pays dispatch
+    once per program, so the marginal rate between two loop lengths is
+    pure device time (matters for every sub-10 ms cell; the bias is noise
+    on 40+ ms cells). Iterations stay data-dependent — each consumes the
+    previous output — so the runtime cannot pipeline or elide them.
+
+    FLOPs/memory stats come from the SINGLE-application program, never the
+    loop: ``cost_analysis`` counts a ``while`` body once, not per trip.
+    """
+    n1, n2 = max(REPEATS_IN_LOOP // 5, 1), REPEATS_IN_LOOP
+
+    def make(n):
+        @jax.jit
+        def run(m, *a):
+            return jax.lax.fori_loop(
+                0, n, lambda _, mm: kernel_apply(mm, *a), m
+            )
+
+        return run
+
+    run1, run2 = make(n1), make(n2)
+    out = run1(init, *args)
+    jax.block_until_ready(out)
+    jax.block_until_ready(run2(init, *args))
+
+    def one_shot(runner) -> float:
+        t0 = time.perf_counter()
+        o = runner(init, *args)
+        float(jnp.sum(jax.tree.leaves(o)[0].astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    one_shot(run1), one_shot(run2)  # pipeline warmup
+    best = float("inf")
+    for _ in range(TIMED_RUNS):
+        t1, t2 = one_shot(run1), one_shot(run2)
+        best = min(best, (t2 - t1) / (n2 - n1))
+    single = jax.jit(lambda m, *a: kernel_apply(m, *a))
+    return max(best, 0.0) * 1e3, out, _compiled_stats(single, init, *args)
+
+
+def _timed(kernel_apply, init, *args, jit: bool = True):
+    """Dispatch on the selected timing methodology, falling back to the
+    dispatch-chain form if the kernel cannot be embedded in a loop (e.g.
+    carry structure mismatch)."""
+    if TIMING == "loop":
+        try:
+            return _timed_loop(kernel_apply, init, *args)
+        except Exception as e:  # noqa: BLE001 — measurement must not abort
+            print(f"loop timing failed ({e!r}); using chain", file=sys.stderr)
+    return _timed_chain(kernel_apply, init, *args, jit=jit)
+
+
+def bench_matvec_operator(make_kernel, prob) -> tuple[float, dict]:
     """Device-time (ms) of one matvec of a per-batch curvature kernel."""
     X, y = prob.data[0]
     kernel = make_kernel(prob.model_fn, prob.loss_fn)
@@ -82,13 +208,31 @@ def bench_matvec_operator(make_kernel, prob) -> float:
     key = jax.random.key(0)
     c = jnp.float32(1.0)
 
-    ms, _ = _timed_chain(
+    ms, _, stats = _timed(
         lambda m, params, X, y: kernel(params, X, y, m, c, key),
         M,
         prob.params,
         X,
         y,
     )
+    return ms, stats
+
+
+def _timed_operator_matvec(A, M) -> float:
+    """Loop-timed matvec of a ``LinearOperator`` via its ``traced()`` form.
+
+    ``traced()`` hoists ALL operator state (Kronecker factors, eigenbases)
+    into jit ARGUMENTS — embedding the 124M GPT's factors as loop-program
+    closure constants would exceed the remote compile-request size limit.
+    """
+    if TIMING == "loop":
+        try:
+            fn, consts = A.traced(1)
+            ms, _, _ = _timed_loop(lambda m, *c: fn(m, *c), M, *consts)
+            return ms
+        except Exception as e:  # noqa: BLE001
+            print(f"loop timing failed ({e!r}); using chain", file=sys.stderr)
+    ms, _, _ = _timed_chain(lambda m: A._matmat(m), M, jit=False)
     return ms
 
 
@@ -107,7 +251,7 @@ def _held_remat_for(prob):
     return None
 
 
-def bench_held_matvec(prob, op_cls, **op_kwargs) -> float:
+def bench_held_matvec(prob, op_cls, **op_kwargs) -> tuple[float, dict]:
     """Device-time (ms) of one matvec with the model linearization HELD on
     device (``op.linearized()``): the primal forward (and, for the Hessian,
     the primal backward) is paid once at build, not per product."""
@@ -123,16 +267,17 @@ def bench_held_matvec(prob, op_cls, **op_kwargs) -> float:
     apply_jit, state, c = held._held[0]
     M = jax.tree.map(lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), prob.params)
     # c is already the device scalar HeldLinearizationOperator pre-transferred
-    ms, _ = _timed_chain(
+    ms, _, _ = _timed(
         lambda m, state: apply_jit(state, m, c),
         M,
         state,
         jit=False,  # apply_jit is already the cached jitted program
     )
-    return ms
+    # the wrapper lambda is not a jit program; lower the held kernel directly
+    return ms, _compiled_stats(apply_jit, state, M, c)
 
 
-def bench_gradient(prob) -> float:
+def bench_gradient(prob) -> tuple[float, dict]:
     X, y = prob.data[0]
 
     def grad_step(g_prev, params, X, y):
@@ -141,8 +286,8 @@ def bench_gradient(prob) -> float:
         return jax.grad(lambda p: prob.loss_fn(prob.model_fn(p, X), y))(shifted)
 
     g0 = jax.tree.map(jnp.zeros_like, prob.params)
-    ms, _ = _timed_chain(grad_step, g0, prob.params, X, y)
-    return ms
+    ms, _, stats = _timed(grad_step, g0, prob.params, X, y)
+    return ms, stats
 
 
 def _single_readback(tree) -> None:
@@ -213,17 +358,17 @@ def bench_kfac(prob, results: dict, kfac_approx: str = "expand") -> None:
             total = total + jnp.sum(jnp.abs(leaf[..., -1])).astype(jnp.float32)
         return total
 
-    ms, _ = _timed_chain(
+    ms, _, stats = _timed(
         factor_build_step, jnp.float32(0.0), computer.frozen,
         prob.kfac_params, X0, y0, jit=False,
     )
     results["KFAC factors (s)"] = round(ms / 1e3, 4)
+    _attach_stats(results, "KFAC factors", ms, stats)
 
     M = jax.tree.map(
         lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), prob.kfac_params
     )
-    ms, _ = _timed_chain(lambda m: kfac._matmat(m), M, jit=False)
-    results["KFAC matvec (ms)"] = round(ms, 3)
+    results["KFAC matvec (ms)"] = round(_timed_operator_matvec(kfac, M), 3)
 
     # warm up the eigh compiles once, then time the steady-state build
     inv = kfac.inverse(damping=1e-3, use_exact_damping=True)
@@ -234,8 +379,9 @@ def bench_kfac(prob, results: dict, kfac_approx: str = "expand") -> None:
     results["KFAC exact-damped inverse build (s)"] = round(
         time.perf_counter() - t0, 4
     )
-    ms, _ = _timed_chain(lambda m: inv._matmat(m), M, jit=False)
-    results["KFAC inverse matvec (ms)"] = round(ms, 3)
+    results["KFAC inverse matvec (ms)"] = round(
+        _timed_operator_matvec(inv, M), 3
+    )
     del inv, kfac, M  # release factor HBM before the next phase
 
 
@@ -256,8 +402,9 @@ def bench_ekfac(prob, results: dict) -> None:
     M = jax.tree.map(
         lambda p: 0.01 * jnp.ones(p.shape + (1,), p.dtype), prob.kfac_params
     )
-    ms, _ = _timed_chain(lambda m: ekfac._matmat(m), M, jit=False)
-    results["EKFAC matvec (ms)"] = round(ms, 3)
+    results["EKFAC matvec (ms)"] = round(
+        _timed_operator_matvec(ekfac, M), 3
+    )
 
     # steady-state build: kernels are compiled; drop the operator's factor
     # state first so only one eigendecomposition set is alive at a time
@@ -278,39 +425,35 @@ def run_benchmarks(prob, ops, results: dict) -> None:
     )
     from curvlinops_tpu.curvature.hessian import make_batch_hessian_matmat
 
+    def _row(label: str, pair: tuple[float, dict]) -> None:
+        ms, stats = pair
+        results[f"{label} (ms)"] = round(ms, 3)
+        _attach_stats(results, label, ms, stats)
+
     if "gradient" in ops:
-        results["gradient+loss (ms)"] = round(bench_gradient(prob), 3)
+        _row("gradient+loss", bench_gradient(prob))
     if "hessian" in ops:
-        results["Hessian matvec (ms)"] = round(
-            bench_matvec_operator(make_batch_hessian_matmat, prob), 3
-        )
+        _row("Hessian matvec",
+             bench_matvec_operator(make_batch_hessian_matmat, prob))
     if "ggn" in ops:
-        results["GGN matvec (ms)"] = round(
-            bench_matvec_operator(make_batch_ggn_matmat, prob), 3
-        )
+        _row("GGN matvec", bench_matvec_operator(make_batch_ggn_matmat, prob))
     if "ggn_mc" in ops:
-        results["MC-Fisher matvec (ms)"] = round(
-            bench_matvec_operator(
-                lambda f, l: make_batch_ggn_mc_matmat(f, l, 1), prob
-            ),
-            3,
-        )
+        _row("MC-Fisher matvec", bench_matvec_operator(
+            lambda f, l: make_batch_ggn_mc_matmat(f, l, 1), prob
+        ))
     if "ef" in ops:
-        results["Empirical Fisher matvec (ms)"] = round(
-            bench_matvec_operator(make_batch_ef_matmat, prob), 3
-        )
+        _row("Empirical Fisher matvec",
+             bench_matvec_operator(make_batch_ef_matmat, prob))
     if "held_ggn" in ops:
         from curvlinops_tpu.curvature.ggn import GGNLinearOperator
 
-        results["GGN matvec, held linearization (ms)"] = round(
-            bench_held_matvec(prob, GGNLinearOperator), 3
-        )
+        _row("GGN matvec, held linearization",
+             bench_held_matvec(prob, GGNLinearOperator))
     if "held_hessian" in ops:
         from curvlinops_tpu.curvature.hessian import HessianLinearOperator
 
-        results["Hessian matvec, held linearization (ms)"] = round(
-            bench_held_matvec(prob, HessianLinearOperator), 3
-        )
+        _row("Hessian matvec, held linearization",
+             bench_held_matvec(prob, HessianLinearOperator))
     if "kfac" in ops:
         bench_kfac(prob, results, kfac_approx=results.get("kfac_approx", "expand"))
     if "ekfac" in ops:
@@ -352,6 +495,12 @@ def main() -> None:
         "(reduce exercises the averaged-patch no-materialization path)",
     )
     parser.add_argument(
+        "--timing", default="loop", choices=["loop", "chain"],
+        help="loop (default): fori_loop-embedded marginal rate, pure device "
+        "time; chain: legacy host-dispatch chains (+~1.5 ms/link tunnel "
+        "dispatch tax, but no extra loop-program compiles)",
+    )
+    parser.add_argument(
         "--profile", metavar="DIR", default=None,
         help="capture a jax.profiler trace of the measured region into DIR "
         "(view with TensorBoard / xprof; SURVEY §5 tracing hook)",
@@ -385,6 +534,8 @@ def main() -> None:
     unknown = [o for o in ops if o not in known_ops]
     if unknown:  # a typo'd op silently skipping would corrupt provenance
         parser.error(f"unknown --ops {unknown}; known: {sorted(known_ops)}")
+    global TIMING
+    TIMING = args.timing
     prob = setup(**setup_kwargs)
 
     print(f"problem={prob.name} device={jax.devices()[0]}", file=sys.stderr)
@@ -392,6 +543,7 @@ def main() -> None:
         "problem": prob.name,
         "device": str(jax.devices()[0]),
         "dtype": args.dtype,
+        "timing": args.timing,
     }
     if args.scan_blocks:
         results["scan_blocks"] = True
@@ -419,6 +571,8 @@ def main() -> None:
     out_dir = Path(__file__).parent / "results"
     out_dir.mkdir(exist_ok=True)
     suffix = "" if args.dtype == "float32" else f"_{args.dtype}"
+    if args.batch_size:  # non-default batch: own file, never merge cross-B
+        suffix += f"_b{args.batch_size}"
     if args.kfac_approx != "expand":
         suffix += f"_{args.kfac_approx}"
     if args.scan_blocks:

@@ -62,6 +62,24 @@ def cached_program(A, key: tuple, builder):
     return cache[key]
 
 
+@jax.jit
+def _add_col_axis(tree: Any) -> Any:
+    """Append a singleton column axis to every leaf — ONE dispatch.
+
+    The per-leaf eager version cost ~60 device round trips per operator
+    call on ResNet-sized pytrees over the tunnel (~0.3 s per solve,
+    `benchmarks/profile_solver_gap.py`); jitting the whole map makes the
+    tree-format edge a single program like the flat edge already is.
+    """
+    return jax.tree.map(lambda leaf: jnp.asarray(leaf)[..., None], tree)
+
+
+@jax.jit
+def _drop_col_axis(tree: Any) -> Any:
+    """Inverse of :func:`_add_col_axis` (leafwise ``[..., 0]``), jitted."""
+    return jax.tree.map(lambda leaf: leaf[..., 0], tree)
+
+
 # Input/output format tokens
 _FMT_TREE = "tree"  # pytree matching the spec, no column axis
 _FMT_TREE_COLS = "tree_cols"  # pytree with trailing column axis on every leaf
@@ -212,7 +230,7 @@ class LinearOperator:
         """Convert an input in format ``fmt`` to a pytree with a column axis."""
         _, unravel_cols = self._edge(which)
         if fmt == _FMT_TREE:
-            return jax.tree.map(lambda leaf: jnp.asarray(leaf)[..., None], x)
+            return _add_col_axis(x)
         if fmt == _FMT_TREE_COLS:
             return x
         if fmt in (_FMT_FLAT_VEC, _FMT_NP_VEC):
@@ -225,7 +243,7 @@ class LinearOperator:
         """Convert a column-axis pytree back to the caller's format."""
         ravel_cols, _ = self._edge(which)
         if fmt == _FMT_TREE:
-            return jax.tree.map(lambda leaf: leaf[..., 0], M)
+            return _drop_col_axis(M)
         if fmt == _FMT_TREE_COLS:
             return M
         flat = ravel_cols(M)
@@ -271,8 +289,7 @@ class LinearOperator:
 
     def matvec_tree(self, v: Any) -> Any:
         """Apply to a pytree vector, returning a pytree (no format dance)."""
-        M = jax.tree.map(lambda leaf: leaf[..., None], v)
-        return jax.tree.map(lambda leaf: leaf[..., 0], self._matmat(M))
+        return _drop_col_axis(self._matmat(_add_col_axis(v)))
 
     # ------------------------------------------------------------------ #
     # Algebra

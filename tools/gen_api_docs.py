@@ -104,6 +104,7 @@ GROUPS = [
             "LanczosApproximateSpectrumCached",
             "LanczosApproximateLogSpectrumCached",
             "topk_eigenpairs",
+            "lanczos_eigsh",
         ],
     ),
     (
