@@ -21,12 +21,14 @@ What a 1-core host can and cannot establish (``nproc`` = 1):
 On n real devices the equal-shape shards (stack padded to a multiple of n,
 identical [ceil/n, D, D] local stacks — checked below) run concurrently, so
 
-    wall_n  =  wall(distributed, 1 core) / n  +  parallel overhead,
+    wall_n  =  wall(compute-only distributed, 1 core) / n  +  gather/ICI,
 
-where the measured 1-core overhead is an upper bound on the parallel
-overhead's compute part and the gather adds ~bytes/ICI-bandwidth (reported).
-This replaces the serial-baseline projection with one derived from the
-measured distributed program itself.
+where the compute-only wall is the sharded-eigh work of the real mesh
+program (padding eighs + GSPMD bookkeeping included) without the
+gather-to-replicated, which on one core serializes through host memcpy
+but on hardware is a ~20 ms ICI transfer (charged separately). This
+replaces the serial-baseline projection with one derived from the measured
+distributed program itself.
 
 Usage::
 
@@ -89,18 +91,50 @@ def main() -> None:
 
     # distributed: pad each 12-stack to 16, shard over 8 devices, gather.
     # First call compiles; timed calls measure execution only.
-    jax.block_until_ready(batched_eigh(mats, mesh=mesh))
-    t_dist = _timed(lambda: batched_eigh(mats, mesh=mesh), args.repeats)
+    def run_dist():
+        out = batched_eigh(mats, mesh=mesh)
+        return jax.tree.leaves(out)
+
+    jax.block_until_ready(run_dist())
+    t_dist = _timed(run_dist, args.repeats)
     results["distributed wall, 1 core (s)"] = round(t_dist, 2)
+
+    # compute-only wall: the identical padded sharded eigh programs WITHOUT
+    # the in-program slice+gather-to-replicated. On 1 core the gather is 8
+    # serialized replica copies (~5 GiB of memcpy — an artifact of
+    # timesharing); on hardware the same gather rides ICI at ~45 GB/s, so
+    # the derived formula charges compute/n + gather-at-ICI instead.
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec("data"))
+    compute_fns = {}
+    padded = {}
+    for k, m in mats.items():
+        D = m.shape[-1]
+        flat = m.reshape(-1, D, D)
+        pad = (-flat.shape[0]) % N_DEV
+        eye = jnp.broadcast_to(jnp.eye(D, dtype=flat.dtype), (pad, D, D))
+        padded[k] = jax.device_put(
+            jnp.concatenate([flat, eye]), sharding
+        )
+        compute_fns[k] = jax.jit(jnp.linalg.eigh, in_shardings=sharding)
+        jax.block_until_ready(compute_fns[k](padded[k]))
+    t_comp = _timed(
+        lambda: [compute_fns[k](padded[k]) for k in mats], args.repeats
+    )
+    results["distributed compute-only wall, 1 core (s)"] = round(t_comp, 2)
 
     # the distributed stacks pad 12 -> 16 per shape (identity matrices),
     # so the 1-core wall includes 3 shapes x 4 padding eighs of extra work;
     # shards are exactly equal ([2, D, D] per device per shape)
     pad_matrices = sum((-m.shape[0]) % N_DEV for m in mats.values())
     results["padding eighs included"] = pad_matrices
-    overhead = t_dist - t_serial
-    results["measured overhead vs serial (s)"] = round(overhead, 2)
-    results["overhead fraction"] = round(overhead / t_serial, 3)
+    # compute overhead (what the derived walls charge): padding + GSPMD
+    results["compute overhead vs serial (s)"] = round(t_comp - t_serial, 2)
+    results["compute overhead fraction"] = round(t_comp / t_serial - 1, 3)
+    # full-wall overhead additionally contains the 1-core gather memcpy
+    # artifact; reported for transparency, not used in the derivation
+    results["full-wall overhead vs serial (s)"] = round(t_dist - t_serial, 2)
 
     gather_bytes = sum(
         4 * (m.shape[0] + (-m.shape[0]) % N_DEV) * m.shape[-1] * (m.shape[-1] + 1)
@@ -111,17 +145,19 @@ def main() -> None:
     results["gather at 45 GB/s (ms)"] = round(gather_bytes / 45e9 * 1e3, 1)
 
     # derived from the MEASURED distributed program: equal shards =>
-    # n-device wall = (1-core distributed wall)/n + gather
+    # n-device wall = (1-core compute wall)/n + gather over ICI
     for n in (2, 4, 8):
-        wall_n = t_dist / n + gather_bytes / 45e9
+        wall_n = t_comp / n + gather_bytes / 45e9
         results[f"derived wall on {n} devices (s)"] = round(wall_n, 2)
         results[f"derived speedup on {n} devices"] = round(t_serial / wall_n, 2)
 
     results["note"] = (
-        "1 core => shards serialize: distributed wall measures TOTAL work "
-        "of the real mesh program (incl. padding + gather + GSPMD overhead); "
-        "n-device wall = measured total / n + gather, NOT a serial-baseline "
-        "projection"
+        "1 core => shards serialize: the compute-only wall measures the "
+        "TOTAL sharded-eigh work of the real mesh program (incl. padding "
+        "and GSPMD overhead); n-device wall = that total / n + the result "
+        "gather at ICI bandwidth. The full batched_eigh 1-core wall "
+        "additionally serializes the 8-replica gather through host memcpy, "
+        "which hardware does not."
     )
 
     out = Path(__file__).parent / "results" / "mesh_eigh_measured.json"

@@ -277,6 +277,28 @@ def bench_held_matvec(prob, op_cls, **op_kwargs) -> tuple[float, dict]:
     return ms, _compiled_stats(apply_jit, state, M, c)
 
 
+def bench_forward(prob) -> tuple[float, dict]:
+    """Plain model forward pass — the per-problem speed-of-light anchor.
+
+    A curvature matvec is a fixed small multiple of forward work (GGN-VP
+    ~= 3x fwd, HVP ~= 6x fwd): if a matvec's MFU matches the forward's,
+    the composition is as fast as the model itself runs on this chip and
+    further gains must come from the model code, not the operator.
+    """
+    X, y = prob.data[0]
+
+    def fwd_step(out_prev, params, X, y):
+        shifted = jnp.concatenate(
+            [X.ravel()[:1] * 0 + jnp.sum(out_prev[:1]).astype(X.dtype),
+             X.ravel()[1:]]
+        ).reshape(X.shape)
+        return prob.model_fn(params, shifted)
+
+    out0 = jnp.zeros_like(prob.model_fn(prob.params, X))
+    ms, _, stats = _timed(fwd_step, out0, prob.params, X, y)
+    return ms, stats
+
+
 def bench_gradient(prob) -> tuple[float, dict]:
     X, y = prob.data[0]
 
@@ -430,6 +452,8 @@ def run_benchmarks(prob, ops, results: dict) -> None:
         results[f"{label} (ms)"] = round(ms, 3)
         _attach_stats(results, label, ms, stats)
 
+    if "forward" in ops:
+        _row("forward", bench_forward(prob))
     if "gradient" in ops:
         _row("gradient+loss", bench_gradient(prob))
     if "hessian" in ops:
@@ -470,7 +494,7 @@ def main() -> None:
     )
     parser.add_argument(
         "--ops",
-        default="gradient,hessian,ggn,ggn_mc,ef,kfac,ekfac",
+        default="forward,gradient,hessian,ggn,ggn_mc,ef,kfac,ekfac",
         # extra (off by default): held_ggn, held_hessian — matvecs with the
         # model linearization held on device (op.linearized())
         help="comma-separated subset",
@@ -528,7 +552,7 @@ def main() -> None:
         )
     ops = args.ops.split(",")
     known_ops = {
-        "gradient", "hessian", "ggn", "ggn_mc", "ef", "held_ggn",
+        "forward", "gradient", "hessian", "ggn", "ggn_mc", "ef", "held_ggn",
         "held_hessian", "kfac", "ekfac",
     }
     unknown = [o for o in ops if o not in known_ops]

@@ -27,11 +27,22 @@ from curvlinops_tpu.utils.flatten import spec_of
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_eigh_fn(sharding):
-    # one PjitFunction per sharding: a fresh jax.jit wrapper on every call
-    # would re-trace (and re-submit remote compiles) for shapes it has
-    # already seen
-    return jax.jit(jnp.linalg.eigh, in_shardings=sharding)
+def _sharded_eigh_fn(in_sharding, out_sharding, n: int):
+    # one PjitFunction per (sharding, n): a fresh jax.jit wrapper on every
+    # call would re-trace (and re-submit remote compiles) for shapes it has
+    # already seen. The pad-dropping slice and the gather to replicated
+    # happen INSIDE the program: an eager `w[:n]` on the sharded result
+    # crosses shard boundaries and measured as slow as the
+    # eigendecomposition itself (20-45 s per shape on the 124M-GPT profile,
+    # `benchmarks/mesh_eigh_measured.py`), while the compiled slice+gather
+    # is bytes-over-interconnect.
+    def eigh_slice(stacked):
+        w, v = jnp.linalg.eigh(stacked)
+        return w[:n], v[:n]
+
+    return jax.jit(
+        eigh_slice, in_shardings=in_sharding, out_shardings=out_sharding
+    )
 
 
 def _mesh_sharded_eigh(stacked: jax.Array, mesh, data_axis: str):
@@ -50,9 +61,13 @@ def _mesh_sharded_eigh(stacked: jax.Array, mesh, data_axis: str):
         eye = jnp.broadcast_to(jnp.eye(D, dtype=stacked.dtype), (pad, D, D))
         stacked = jnp.concatenate([stacked, eye])
     sharding = NamedSharding(mesh, PartitionSpec(data_axis))
+    replicated = NamedSharding(mesh, PartitionSpec())
     stacked = jax.device_put(stacked, sharding)
-    w, v = _sharded_eigh_fn(sharding)(stacked)
-    return (w[:n], v[:n]) if pad else (w, v)
+    # replicated output: downstream consumers (Kronecker chains, EKFAC
+    # bases, the per-key split below) read the factors whole; leaving the
+    # result sharded turns every later eager slice into a cross-shard
+    # reshard (the measured 2x of mesh_eigh_measured.py)
+    return _sharded_eigh_fn(sharding, replicated, n)(stacked)
 
 
 def batched_eigh(mats: dict, mesh=None, data_axis: str = "data") -> dict:

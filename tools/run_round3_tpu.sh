@@ -14,10 +14,10 @@ cd "$(dirname "$0")/.."
 python benchmarks/run.py --problem mnist_mlp
 python benchmarks/run.py --problem cifar10_resnet18
 python benchmarks/run.py --problem cifar10_resnet18 --ops held_ggn,held_hessian
-python benchmarks/run.py --problem cifar10_resnet18 --dtype bfloat16 --ops gradient,hessian,ggn
+python benchmarks/run.py --problem cifar10_resnet18 --dtype bfloat16 --ops forward,gradient,hessian,ggn
 
 # the two weak-MFU problems (VERDICT item 4): fp32 + bf16 rows with stats
 python benchmarks/run.py --problem imagenet_resnet50
-python benchmarks/run.py --problem imagenet_resnet50 --dtype bfloat16 --ops gradient,hessian,ggn
+python benchmarks/run.py --problem imagenet_resnet50 --dtype bfloat16 --ops forward,gradient,hessian,ggn
 python benchmarks/run.py --problem shakespeare_nanogpt
-python benchmarks/run.py --problem shakespeare_nanogpt --dtype bfloat16 --ops gradient,hessian,ggn
+python benchmarks/run.py --problem shakespeare_nanogpt --dtype bfloat16 --ops forward,gradient,hessian,ggn
