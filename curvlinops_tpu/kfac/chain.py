@@ -381,6 +381,18 @@ class KroneckerChainOperator(ChainLinearOperator):
 
                 lam, Q = data
                 blocks.append(EmbeddingEighOperator(lam, Q))
+            elif kind == "lreigh":
+                from curvlinops_tpu.kfac.randomized import (
+                    LowRankDampedInverseOperator,
+                )
+
+                blocks.append(LowRankDampedInverseOperator(data))
+            elif kind == "slreigh":
+                from curvlinops_tpu.kfac.randomized import (
+                    StackedLowRankDampedInverseOperator,
+                )
+
+                blocks.append(StackedLowRankDampedInverseOperator(data))
             else:
                 raise ValueError(f"Unknown block kind {kind!r}.")
         K = BlockDiagonalLinearOperator(blocks)
@@ -447,6 +459,16 @@ class KroneckerChainOperator(ChainLinearOperator):
                         X = comp.reshape(G.shape[1], d.shape[0], K)
                         o = jnp.einsum("ab,bvk->avk", G, X) * d[None, :, None]
                         out.append(o.reshape(-1, K))
+                    elif kinds[gi] == "lreigh":
+                        from curvlinops_tpu.kfac.randomized import lr_apply
+
+                        out.append(lr_apply(block_arrays[gi], comp))
+                    elif kinds[gi] == "slreigh":
+                        from curvlinops_tpu.kfac.randomized import (
+                            lr_apply_stacked,
+                        )
+
+                        out.append(lr_apply_stacked(block_arrays[gi], comp))
                     elif kinds[gi] == "eighd":
                         lam, Q = block_arrays[gi]
                         K = comp.shape[-1]

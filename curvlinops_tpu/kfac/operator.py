@@ -262,6 +262,9 @@ class KFACLinearOperator(KroneckerChainOperator):
         min_damping: float = 1e-8,
         use_exact_damping: bool = False,
         retry_double_precision: bool = True,
+        rank: int | None = None,
+        rank_power_iters: int = 1,
+        rank_key: jax.Array | None = None,
     ) -> "KroneckerChainOperator":
         """Damped inverse: invert each block, rebuild the chain (kfac.py:311-350).
 
@@ -269,24 +272,54 @@ class KFACLinearOperator(KroneckerChainOperator):
         damping inverts the Kronecker factors (Cholesky, fp64 retry), exact
         damping eigendecomposes them and inverts ``kron(eigvals) + delta``.
 
+        With ``rank`` given (requires ``use_exact_damping=True``), factors
+        larger than ``rank`` use a RANDOMIZED rank-``r`` eigendecomposition
+        with a trace-preserving tail instead of the full ``eigh``
+        (:mod:`curvlinops_tpu.kfac.randomized`, RS-KFAC arXiv:2206.15397) —
+        the build becomes matmul-bound on the MXU instead of eigh-bound,
+        at the cost of approximating the factor spectra's tails (the damping
+        dominates exactly there).  ``rank >= D`` reproduces the exact path.
+        ``rank_key`` defaults to a FIXED key so repeated builds are
+        deterministic (pass a fresh key to decorrelate).
+
         Raises:
             ValueError: When both heuristic and exact damping are requested
                 (same guard as the reference's ``kronecker.py:283`` — the
                 exact-damping branch would otherwise silently ignore the
-                heuristic request).
+                heuristic request), or when ``rank`` is given without
+                ``use_exact_damping`` / is not a positive int.
         """
         if use_heuristic_damping and use_exact_damping:
             raise ValueError(
                 "Choose either heuristic or exact damping, not both."
             )
+        if rank is not None:
+            if not use_exact_damping:
+                raise ValueError(
+                    "rank= requires use_exact_damping=True (plain/heuristic "
+                    "damping needs no eigendecomposition to begin with)."
+                )
+            if not isinstance(rank, int) or rank <= 0:
+                raise ValueError(f"rank must be a positive int, got {rank!r}.")
         blocks_data = {}
         if use_exact_damping:
             # batch all factor eigendecompositions by shape (one vmapped
             # eigh per distinct factor size across the whole model; stacked
             # factors [L, D, D] eigendecompose batched over the stack)
-            flat = {}
+            flat, flat_rand, lr_kinds = {}, {}, {}
             for gi in sorted(self._blocks_data):
                 kind, factors = self._blocks_data[gi]
+                if (
+                    rank is not None
+                    and kind in ("kron", "skron")
+                    and len(factors) == 2
+                    and all(S.shape[-1] == S.shape[-2] for S in factors)
+                    and max(S.shape[-1] for S in factors) > rank
+                ):
+                    for fi, S in enumerate(factors):
+                        flat_rand[(gi, fi)] = S
+                    lr_kinds[gi] = kind
+                    continue
                 for fi, S in enumerate(factors):
                     if kind == "krond" and fi == 1:
                         continue  # diagonal factor: already its own spectrum
@@ -296,8 +329,27 @@ class KFACLinearOperator(KroneckerChainOperator):
                 mesh=getattr(self, "_mesh", None),
                 data_axis=getattr(self, "_data_axis", "data"),
             )
+            if flat_rand:
+                from curvlinops_tpu.kfac.randomized import (
+                    batched_randomized_eigh,
+                    lr_damped_inverse_data,
+                )
+
+                reig = batched_randomized_eigh(
+                    flat_rand,
+                    rank,
+                    jax.random.key(0) if rank_key is None else rank_key,
+                    power_iters=rank_power_iters,
+                )
             for gi in sorted(self._blocks_data):
                 kind, factors = self._blocks_data[gi]
+                if gi in lr_kinds:
+                    data = lr_damped_inverse_data(
+                        reig[(gi, 0)], reig[(gi, 1)], damping
+                    )
+                    out_kind = "slreigh" if kind == "skron" else "lreigh"
+                    blocks_data[gi] = (out_kind, data)
+                    continue
                 if kind == "krond":
                     lam_G, Q_G = eig[(gi, 0)]
                     lam = lam_G[:, None] * factors[1][None, :]

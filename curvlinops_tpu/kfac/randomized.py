@@ -1,0 +1,340 @@
+"""Randomized low-rank exact-damped KFAC inversion (RS-KFAC style).
+
+The exact-damping mode of the reference (``curvlinops/kfac.py:311-350`` via
+``curvlinops/kronecker.py`` eigendecompositions) needs the FULL spectrum of
+every Kronecker factor because the damped inverse mixes eigenvalues as
+``1 / (lam_i * mu_j + delta)``.  On TPU the full ``eigh`` is the single
+phase where this library loses to single-GPU cuSOLVER (RESULTS.md): XLA's
+eigh lowering is sequential-heavy and cannot ride the MXU.
+
+This module trades exactness for MXU-speed with a *randomized* rank-``r``
+eigendecomposition per factor (randomized subspace iteration; the
+K-FAC-specific application is "Randomized K-FACs", arXiv:2206.15397):
+
+1. range finding: ``Y = S @ Omega`` with a Gaussian ``Omega [D, r]``,
+   orthonormalized spectrally via the Gram eigendecomposition (pure
+   matmuls + a tiny ``[r, r]`` eigh — no Householder QR, whose XLA
+   lowering is as sequential as eigh; rank-deficiency-safe, see
+   :func:`spectral_orthonormalize`),
+2. optional power iterations ``Y <- S @ Q`` for spectral-gap sharpening,
+3. a small core eigh ``Q^T S Q = V diag(lam) V^T`` (all cores across the
+   whole model are ``[r, r]`` and solve as ONE batched eigh),
+4. a trace-preserving tail: the discarded ``D - r`` eigenvalues are
+   represented by their exact mean ``alpha = (tr(S) - sum(lam)) / (D - r)``
+   acting on the orthogonal complement of ``span(U)``.
+
+The per-factor approximation is ``S ~= U diag(lam) U^T + alpha (I - U U^T)``
+whose damped Kronecker inverse has a CLOSED FORM in the four sectors
+``span(U_A) x span(U_G)``, ``span x perp``, ``perp x span``, ``perp x perp``
+— every sector is a batched matmul (:func:`lr_apply`).  With ``rank >= D``
+the decomposition is complete (``alpha`` empty) and the inverse equals the
+exact-damped one; tests pin that equality.
+
+Nothing here leaves the device, and the build is matmul-bound: for the
+124M-GPT factor stacks ([12, 2304], [12, 3072]) the range-finder work is
+``(q+2) * D^2 r`` MXU FLOPs per factor vs the seconds-scale XLA eigh.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from curvlinops_tpu.ops.base import LinearOperator
+
+
+def spectral_orthonormalize(Y: jax.Array) -> jax.Array:
+    """Orthonormalize the columns of ``Y [..., D, r]``, rank-deficiency-safe.
+
+    ``Q = Y W diag(w^{-1/2})`` from the Gram eigendecomposition
+    ``Y^T Y = W diag(w) W^T`` — matmuls + a tiny batched ``[r, r]`` eigh (no
+    Householder QR, whose XLA lowering is as sequential as a big eigh).
+    Directions with ``w`` below a relative threshold come back as exact ZERO
+    columns rather than noise: KFAC factors from small batches are genuinely
+    rank-deficient (``rank(aaT) <= batch``), and a Cholesky-QR there would
+    normalize roundoff noise into fake basis vectors that pollute the core
+    spectrum (measured: ~1-2%% error in the damped inverse).  Zero columns
+    carry zero coefficients in the sector apply, so the dropped mass lands
+    in the tail sector — the correct semantics.
+    """
+    r = Y.shape[-1]
+    G = jnp.einsum(
+        "...dr,...ds->...rs", Y, Y, precision=jax.lax.Precision.HIGHEST
+    )
+    w, W = jnp.linalg.eigh(G)
+    wmax = jnp.maximum(w[..., -1:], jnp.finfo(Y.dtype).tiny)
+    keep = w > (r * jnp.finfo(Y.dtype).eps) * wmax
+    inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, w, 1.0)), 0.0)
+    return jnp.einsum(
+        "...dr,...rs->...ds",
+        Y,
+        W * inv_sqrt[..., None, :],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def randomized_eigh(
+    S: jax.Array,
+    rank: int,
+    key: jax.Array,
+    power_iters: int = 1,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Rank-``r`` randomized eigendecomposition of PSD ``S [..., D, D]``.
+
+    Returns ``(lam [..., r], U [..., D, r], tail [...])`` such that
+    ``S ~= U diag(lam) U^T + tail * (I - U U^T)`` with the trace-preserving
+    tail mean.  With ``rank >= D`` this dispatches to the exact ``eigh``
+    (``tail = 0``).
+    """
+    D = S.shape[-1]
+    if rank >= D:
+        lam, U = jnp.linalg.eigh(S)
+        return lam, U, jnp.zeros(S.shape[:-2], dtype=S.dtype)
+    omega = jax.random.normal(key, (*S.shape[:-2], D, rank), dtype=S.dtype)
+    Q = spectral_orthonormalize(
+        jnp.einsum(
+            "...de,...er->...dr", S, omega, precision=jax.lax.Precision.HIGHEST
+        )
+    )
+    for _ in range(power_iters):
+        Q = spectral_orthonormalize(
+            jnp.einsum(
+                "...de,...er->...dr", S, Q, precision=jax.lax.Precision.HIGHEST
+            )
+        )
+    core = jnp.einsum(
+        "...dr,...de,...es->...rs",
+        Q,
+        S,
+        Q,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    core = (core + core.swapaxes(-1, -2)) / 2
+    lam, V = jnp.linalg.eigh(core)
+    U = jnp.einsum(
+        "...dr,...rs->...ds", Q, V, precision=jax.lax.Precision.HIGHEST
+    )
+    tail = (jnp.trace(S, axis1=-2, axis2=-1) - lam.sum(-1)) / (D - rank)
+    return lam, U, jnp.maximum(tail, 0.0)
+
+
+def batched_randomized_eigh(
+    mats: dict,
+    rank: int,
+    key: jax.Array,
+    power_iters: int = 1,
+) -> dict:
+    """Randomized eigendecomposition of a dict of PSD matrices.
+
+    Shape-batches the range finding like
+    :func:`curvlinops_tpu.kfac.chain.batched_eigh`, then solves ALL core
+    eigenproblems — which share the ``[rank, rank]`` shape regardless of the
+    factors' ``D`` — as one batched ``eigh`` across the whole dict.  Values
+    may carry leading stack axes (scan-stacked factors ``[L, D, D]``).
+
+    Matrices with ``D <= rank`` fall back to the exact ``eigh`` (their
+    decomposition is complete either way); they are batched by shape.
+
+    Returns:
+        ``{key: (lam, U, tail)}`` per :func:`randomized_eigh`.
+    """
+    by_shape: dict = {}
+    for k, m in mats.items():
+        by_shape.setdefault(m.shape, []).append(k)
+    out: dict = {}
+    # accumulated cores across every shape batch: all [*, rank, rank]
+    core_batches, core_meta = [], []
+    for si, (shape, keys) in enumerate(sorted(by_shape.items())):
+        D = shape[-1]
+        stacked = (
+            mats[keys[0]][None]
+            if len(keys) == 1 and len(shape) == 2
+            else jnp.concatenate([mats[k].reshape(-1, D, D) for k in keys])
+        )
+        if D <= rank:
+            lam, U = jnp.linalg.eigh(stacked)
+            tail = jnp.zeros(stacked.shape[0], dtype=stacked.dtype)
+            _scatter_back(out, mats, keys, lam, U, tail, D, full=True)
+            continue
+        sub = jax.random.fold_in(key, si)
+        omega = jax.random.normal(
+            sub, (stacked.shape[0], D, rank), dtype=stacked.dtype
+        )
+        Q = spectral_orthonormalize(
+            jnp.einsum(
+                "bde,ber->bdr",
+                stacked,
+                omega,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+        for _ in range(power_iters):
+            Q = spectral_orthonormalize(
+                jnp.einsum(
+                    "bde,ber->bdr",
+                    stacked,
+                    Q,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )
+        core = jnp.einsum(
+            "bdr,bde,bes->brs",
+            Q,
+            stacked,
+            Q,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        core_batches.append((core + core.swapaxes(-1, -2)) / 2)
+        core_meta.append((keys, Q, stacked, D))
+    if core_batches:
+        all_cores = jnp.concatenate(core_batches)
+        w_all, V_all = jnp.linalg.eigh(all_cores)
+        lead = 0
+        for (keys, Q, stacked, D), core in zip(core_meta, core_batches):
+            cnt = core.shape[0]
+            lam = w_all[lead : lead + cnt]
+            V = V_all[lead : lead + cnt]
+            lead += cnt
+            U = jnp.einsum(
+                "bdr,brs->bds", Q, V, precision=jax.lax.Precision.HIGHEST
+            )
+            tail = jnp.maximum(
+                (jnp.trace(stacked, axis1=-2, axis2=-1) - lam.sum(-1))
+                / (D - rank),
+                0.0,
+            )
+            _scatter_back(out, mats, keys, lam, U, tail, D, full=False)
+    return out
+
+
+def _scatter_back(out, mats, keys, lam, U, tail, D, full):
+    """Unstack per-key results, restoring leading stack axes."""
+    r = lam.shape[-1]
+    lead = 0
+    for k in keys:
+        batch = mats[k].shape[:-2]
+        cnt = int(np.prod(batch, dtype=np.int64)) or 1
+        out[k] = (
+            lam[lead : lead + cnt].reshape(*batch, r),
+            U[lead : lead + cnt].reshape(*batch, D, r),
+            tail[lead : lead + cnt].reshape(batch),
+        )
+        lead += cnt
+
+
+# --------------------------------------------------------------------------
+# damped Kronecker inverse of two low-rank + tail factors: 4-sector apply
+# --------------------------------------------------------------------------
+
+
+def lr_damped_inverse_data(
+    eig_A: tuple, eig_G: tuple, damping: float
+) -> tuple:
+    """Precompute the sector inverse scales for ``(A (x) G + delta I)^{-1}``.
+
+    With ``A ~= U_A diag(lam) U_A^T + a (I - P_A)`` and ``G`` alike, the
+    damped Kronecker product is diagonal in the sector decomposition
+    ``{span(U_A), perp} x {span(U_G), perp}`` with eigenvalues
+    ``lam_i mu_j``, ``lam_i b``, ``a mu_j``, ``a b``.  Leading stack axes
+    broadcast through (scan-stacked factors).
+
+    Returns ``(U_A, U_G, S11, s12, s21, s22)``.
+    """
+    lam_A, U_A, a = eig_A
+    lam_G, U_G, b = eig_G
+    S11 = 1.0 / (lam_A[..., :, None] * lam_G[..., None, :] + damping)
+    s12 = 1.0 / (lam_A * b[..., None] + damping)
+    s21 = 1.0 / (a[..., None] * lam_G + damping)
+    s22 = 1.0 / (a * b + damping)
+    return (U_A, U_G, S11, s12, s21, s22)
+
+
+def lr_apply(data: tuple, comp: jax.Array) -> jax.Array:
+    """Apply the 4-sector inverse to flat columns ``comp [dA*dG, K]``."""
+    U_A, U_G, S11, s12, s21, s22 = data
+    dA, dG = U_A.shape[0], U_G.shape[0]
+    K = comp.shape[-1]
+    X = comp.reshape(dA, dG, K)
+    P1 = jnp.einsum("dr,dgk->rgk", U_A, X)  # A-side coefficients
+    P2 = jnp.einsum("gs,dgk->dsk", U_G, X)  # G-side coefficients
+    C = jnp.einsum("gs,rgk->rsk", U_G, P1)  # both-span coefficients
+    R12 = P1 - jnp.einsum("gs,rsk->rgk", U_G, C)
+    R21 = P2 - jnp.einsum("dr,rsk->dsk", U_A, C)
+    UC = jnp.einsum("dr,rsk->dsk", U_A, C)
+    R22 = (
+        X
+        - jnp.einsum("dr,rgk->dgk", U_A, P1)
+        - jnp.einsum("gs,dsk->dgk", U_G, P2)
+        + jnp.einsum("gs,dsk->dgk", U_G, UC)
+    )
+    T11 = jnp.einsum("gs,rsk->rgk", U_G, C * S11[:, :, None])
+    out = (
+        jnp.einsum("dr,rgk->dgk", U_A, T11 + R12 * s12[:, None, None])
+        + jnp.einsum("gs,dsk->dgk", U_G, R21 * s21[None, :, None])
+        + R22 * s22
+    )
+    return out.reshape(dA * dG, K)
+
+
+def lr_apply_stacked(data: tuple, comp: jax.Array) -> jax.Array:
+    """Stacked variant: data carries a leading ``L`` axis, comp ``[L*dA*dG, K]``.
+
+    Explicit batched einsums (never ``vmap`` of per-slice contractions —
+    see ``ops/stacked.py``).
+    """
+    U_A, U_G, S11, s12, s21, s22 = data
+    L, dA, dG = U_A.shape[0], U_A.shape[1], U_G.shape[1]
+    K = comp.shape[-1]
+    X = comp.reshape(L, dA, dG, K)
+    P1 = jnp.einsum("ldr,ldgk->lrgk", U_A, X)
+    P2 = jnp.einsum("lgs,ldgk->ldsk", U_G, X)
+    C = jnp.einsum("lgs,lrgk->lrsk", U_G, P1)
+    R12 = P1 - jnp.einsum("lgs,lrsk->lrgk", U_G, C)
+    R21 = P2 - jnp.einsum("ldr,lrsk->ldsk", U_A, C)
+    UC = jnp.einsum("ldr,lrsk->ldsk", U_A, C)
+    R22 = (
+        X
+        - jnp.einsum("ldr,lrgk->ldgk", U_A, P1)
+        - jnp.einsum("lgs,ldsk->ldgk", U_G, P2)
+        + jnp.einsum("lgs,ldsk->ldgk", U_G, UC)
+    )
+    T11 = jnp.einsum("lgs,lrsk->lrgk", U_G, C * S11[:, :, :, None])
+    out = (
+        jnp.einsum("ldr,lrgk->ldgk", U_A, T11 + R12 * s12[:, :, None, None])
+        + jnp.einsum("lgs,ldsk->ldgk", U_G, R21 * s21[:, None, :, None])
+        + R22 * s22[:, None, None, None]
+    )
+    return out.reshape(L * dA * dG, K)
+
+
+class LowRankDampedInverseOperator(LinearOperator):
+    """One block of a rank-``r`` randomized exact-damped KFAC inverse."""
+
+    SELF_ADJOINT = True
+
+    def __init__(self, data: tuple):
+        U_A, U_G = data[0], data[1]
+        n = U_A.shape[0] * U_G.shape[0]
+        super().__init__(jax.ShapeDtypeStruct((n,), U_A.dtype))
+        self._data = data
+
+    def _matmat(self, M: jax.Array) -> jax.Array:
+        return lr_apply(self._data, M)
+
+
+class StackedLowRankDampedInverseOperator(LinearOperator):
+    """``L`` low-rank damped-inverse blocks batched over a stack axis."""
+
+    SELF_ADJOINT = True
+
+    def __init__(self, data: tuple):
+        U_A, U_G = data[0], data[1]
+        n = U_A.shape[0] * U_A.shape[1] * U_G.shape[1]
+        super().__init__(jax.ShapeDtypeStruct((n,), U_A.dtype))
+        self._data = data
+
+    def _matmat(self, M: jax.Array) -> jax.Array:
+        return lr_apply_stacked(self._data, M)

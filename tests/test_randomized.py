@@ -1,0 +1,355 @@
+"""Randomized low-rank exact-damped inversion (`kfac/randomized.py`).
+
+Oracles, tightest first:
+
+- the 4-sector damped-inverse algebra is checked EXACTLY (no randomness
+  tolerance) against the dense inverse of explicitly reconstructed
+  ``U diag(lam) U^T + tail (I - U U^T)`` factors;
+- ``randomized_eigh`` at ``rank >= D`` must equal the exact ``eigh``;
+- end-to-end ``inverse(rank=r)``: with the batch small enough that every
+  factor's TRUE rank is below ``r``, the randomized range finder captures
+  the whole spectrum and the inverse must match the exact-damped one to
+  float tolerance (the trace-preserving tail is ~0 there);
+- the scan-stacked path must match its own exact-damped build the same way.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curvlinops_tpu import KFACLinearOperator
+from curvlinops_tpu.kfac.randomized import (
+    batched_randomized_eigh,
+    lr_apply,
+    lr_apply_stacked,
+    lr_damped_inverse_data,
+    randomized_eigh,
+    spectral_orthonormalize,
+)
+from curvlinops_tpu.losses import MSELoss
+
+from tests.utils import report_nonclose
+
+
+def _rand_psd(key, d, decay=1.0):
+    k1, k2 = jax.random.split(key)
+    Q, _ = jnp.linalg.qr(jax.random.normal(k1, (d, d)))
+    lam = jnp.exp(-decay * jnp.arange(d, dtype=jnp.float32))
+    return (Q * lam) @ Q.T
+
+
+def _orthonormal(key, d, r):
+    Q, _ = jnp.linalg.qr(jax.random.normal(key, (d, r)))
+    return Q
+
+
+# ---------------------------------------------------------------------------
+# sector algebra: exact, no randomness involved
+# ---------------------------------------------------------------------------
+
+
+def test_sector_inverse_matches_dense():
+    """lr_apply == dense inverse of the reconstructed damped Kronecker."""
+    dA, rA, dG, rG, delta = 7, 3, 5, 2, 0.3
+    kA, kG, kv = jax.random.split(jax.random.key(0), 3)
+    U_A = _orthonormal(kA, dA, rA)
+    U_G = _orthonormal(kG, dG, rG)
+    lam_A = jnp.array([2.0, 1.0, 0.5])
+    lam_G = jnp.array([1.5, 0.25])
+    a, b = jnp.asarray(0.1), jnp.asarray(0.05)
+
+    A_hat = (U_A * lam_A) @ U_A.T + a * (jnp.eye(dA) - U_A @ U_A.T)
+    G_hat = (U_G * lam_G) @ U_G.T + b * (jnp.eye(dG) - U_G @ U_G.T)
+    dense = np.kron(np.asarray(A_hat), np.asarray(G_hat))
+    dense += delta * np.eye(dA * dG)
+
+    data = lr_damped_inverse_data((lam_A, U_A, a), (lam_G, U_G, b), delta)
+    M = jax.random.normal(kv, (dA * dG, 4))
+    out = lr_apply(data, M)
+    expected = np.linalg.solve(dense, np.asarray(M))
+    report_nonclose(out, expected, rtol=1e-4, atol=1e-5, name="sector inverse")
+
+
+def test_sector_inverse_full_rank_degenerates_exactly():
+    """rA == dA, rG == dG: the sector formula IS the exact eigh inverse."""
+    dA, dG, delta = 6, 4, 0.2
+    kA, kG, kv = jax.random.split(jax.random.key(1), 3)
+    A = _rand_psd(kA, dA)
+    G = _rand_psd(kG, dG)
+    lam_A, U_A = jnp.linalg.eigh(A)
+    lam_G, U_G = jnp.linalg.eigh(G)
+    zero = jnp.asarray(0.0)
+    data = lr_damped_inverse_data((lam_A, U_A, zero), (lam_G, U_G, zero), delta)
+    M = jax.random.normal(kv, (dA * dG, 3))
+    dense = np.kron(np.asarray(A), np.asarray(G)) + delta * np.eye(dA * dG)
+    report_nonclose(
+        lr_apply(data, M),
+        np.linalg.solve(dense, np.asarray(M)),
+        rtol=1e-4,
+        atol=1e-5,
+        name="full-rank sector",
+    )
+
+
+def test_stacked_sector_inverse_matches_per_slice():
+    L, dA, rA, dG, rG, delta = 3, 5, 2, 4, 3, 0.15
+    keys = jax.random.split(jax.random.key(2), 2 * L + 1)
+    U_As = jnp.stack([_orthonormal(keys[i], dA, rA) for i in range(L)])
+    U_Gs = jnp.stack([_orthonormal(keys[L + i], dG, rG) for i in range(L)])
+    lam_As = jnp.abs(jax.random.normal(keys[-1], (L, rA))) + 0.2
+    lam_Gs = jnp.abs(jax.random.normal(keys[-1], (L, rG))) + 0.1
+    tails_A = jnp.array([0.05, 0.0, 0.3])
+    tails_G = jnp.array([0.02, 0.4, 0.0])
+
+    data = lr_damped_inverse_data(
+        (lam_As, U_As, tails_A), (lam_Gs, U_Gs, tails_G), delta
+    )
+    M = jax.random.normal(jax.random.key(3), (L * dA * dG, 2))
+    out = lr_apply_stacked(data, M)
+    for l in range(L):
+        sl = lr_damped_inverse_data(
+            (lam_As[l], U_As[l], tails_A[l]),
+            (lam_Gs[l], U_Gs[l], tails_G[l]),
+            delta,
+        )
+        seg = M.reshape(L, dA * dG, -1)[l]
+        report_nonclose(
+            out.reshape(L, dA * dG, -1)[l],
+            lr_apply(sl, seg),
+            rtol=1e-5,
+            atol=1e-6,
+            name=f"stacked slice {l}",
+        )
+
+
+# ---------------------------------------------------------------------------
+# randomized eigendecomposition
+# ---------------------------------------------------------------------------
+
+
+def test_spectral_orthonormalize():
+    Y = jax.random.normal(jax.random.key(4), (3, 20, 6))
+    Q = spectral_orthonormalize(Y)
+    eye = jnp.einsum("bdr,bds->brs", Q, Q)
+    report_nonclose(
+        eye, jnp.broadcast_to(jnp.eye(6), eye.shape), atol=1e-5, name="QtQ"
+    )
+
+
+def test_spectral_orthonormalize_rank_deficient():
+    """Columns beyond the true rank come back as exact zeros, not noise."""
+    base = jax.random.normal(jax.random.key(12), (20, 3))
+    mix = jax.random.normal(jax.random.key(13), (3, 8))
+    Q = spectral_orthonormalize(base @ mix)  # 8 columns, rank 3
+    G = Q.T @ Q
+    # exactly 3 orthonormal directions, the rest zero
+    assert int(jnp.sum(jnp.abs(jnp.diag(G)) > 0.5)) == 3
+    col_norms = jnp.linalg.norm(Q, axis=0)
+    assert float(jnp.sort(col_norms)[:-3].max()) == 0.0
+    offdiag = G - jnp.diag(jnp.diag(G))
+    assert float(jnp.abs(offdiag).max()) < 1e-5
+
+
+def test_randomized_eigh_full_rank_is_exact():
+    S = _rand_psd(jax.random.key(5), 8)
+    lam, U, tail = randomized_eigh(S, rank=8, key=jax.random.key(0))
+    w, V = jnp.linalg.eigh(S)
+    report_nonclose(lam, w, rtol=1e-5, atol=1e-6, name="eigenvalues")
+    assert float(tail) == 0.0
+    report_nonclose((U * lam) @ U.T, S, rtol=1e-4, atol=1e-5, name="recon")
+
+
+def test_randomized_eigh_captures_low_rank_exactly():
+    """A matrix of true rank k is reproduced by rank >= k range finding."""
+    d, k = 24, 5
+    B = jax.random.normal(jax.random.key(6), (d, k))
+    S = B @ B.T
+    lam, U, tail = randomized_eigh(S, rank=8, key=jax.random.key(1))
+    report_nonclose((U * lam) @ U.T, S, rtol=1e-3, atol=1e-4, name="recon")
+    # f32 trace cancellation leaves roundoff-scale residue in the tail
+    assert float(tail) <= 1e-5 * float(jnp.trace(S))
+
+
+def test_randomized_eigh_trace_preserving_tail():
+    S = _rand_psd(jax.random.key(7), 16, decay=0.5)
+    rank = 6
+    lam, U, tail = randomized_eigh(S, rank=rank, key=jax.random.key(2))
+    approx_trace = float(lam.sum() + tail * (16 - rank))
+    report_nonclose(
+        approx_trace, float(jnp.trace(S)), rtol=1e-5, name="trace preserved"
+    )
+    assert float(tail) >= 0.0
+
+
+def test_batched_randomized_eigh_shapes_and_stacks():
+    mats = {
+        "a": _rand_psd(jax.random.key(8), 12),
+        "b": _rand_psd(jax.random.key(9), 12, decay=0.3),
+        "small": _rand_psd(jax.random.key(10), 3),
+        "stk": jnp.stack(
+            [_rand_psd(jax.random.key(11 + i), 10) for i in range(4)]
+        ),
+    }
+    out = batched_randomized_eigh(mats, rank=6, key=jax.random.key(3))
+    assert out["a"][0].shape == (6,) and out["a"][1].shape == (12, 6)
+    # D <= rank: exact fallback, full basis, zero tail
+    assert out["small"][0].shape == (3,) and out["small"][1].shape == (3, 3)
+    assert float(out["small"][2]) == 0.0
+    w, V = jnp.linalg.eigh(mats["small"])
+    report_nonclose(out["small"][0], w, rtol=1e-5, atol=1e-6, name="small")
+    # stacked values keep their leading axis
+    assert out["stk"][0].shape == (4, 6)
+    assert out["stk"][1].shape == (4, 10, 6)
+    assert out["stk"][2].shape == (4,)
+    # reconstructions track the originals; the slow-decay spectrum ("b",
+    # decay 0.3) keeps ~15% of its Frobenius mass past rank 6 even with the
+    # trace-preserving tail, so the bound is loose by design
+    for k, bound in (("a", 0.02), ("b", 0.20)):
+        lam, U, tail = out[k]
+        S = mats[k]
+        recon = (U * lam) @ U.T + tail * (jnp.eye(12) - U @ U.T)
+        assert (
+            float(jnp.linalg.norm(recon - S)) / float(jnp.linalg.norm(S))
+            < bound
+        )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: KFAC inverse with rank=
+# ---------------------------------------------------------------------------
+
+
+def _mlp_case(widths, batch, seed=0):
+    key = jax.random.key(seed)
+    params = {}
+    dims = widths
+    for i, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
+        k1, k2, key = jax.random.split(key, 3)
+        params[f"l{i}"] = {
+            "W": 0.4 * jax.random.normal(k1, (a, b)),
+            "b": 0.1 * jax.random.normal(k2, (b,)),
+        }
+
+    def model_fn(p, x):
+        for i in range(len(dims) - 1):
+            x = x @ p[f"l{i}"]["W"] + p[f"l{i}"]["b"]
+            if i < len(dims) - 2:
+                x = jnp.tanh(x)
+        return x
+
+    kx, ky = jax.random.split(key)
+    X = jax.random.normal(kx, (batch, dims[0]))
+    y = jax.random.normal(ky, (batch, dims[-1]))
+    return model_fn, params, [(np.asarray(X), np.asarray(y))]
+
+
+def test_kfac_inverse_rank_matches_exact_on_captured_spectra():
+    """Batch 4, MSE: every factor's true rank is far below rank=14, so the
+    randomized path must agree with the exact eigh path to float tolerance
+    (the trace-preserving tails are ~0)."""
+    model_fn, params, data = _mlp_case([20, 18, 16, 3], batch=4)
+    kfac = KFACLinearOperator(
+        model_fn, MSELoss("mean"), params, data, check_deterministic=False
+    )
+    # NOTE the damped inverse amplifies f32 factor roundoff (~1e-6 * lam_max)
+    # by lam_max / delta^2 — at delta=1e-2 the exact and randomized paths
+    # amplify DIFFERENT noise to ~5e-2 absolute; delta=0.1 keeps the
+    # comparison about the algorithm, not the conditioning
+    delta = 0.1
+    exact = kfac.inverse(damping=delta, use_exact_damping=True)
+    lowrank = kfac.inverse(
+        damping=delta, use_exact_damping=True, rank=14, rank_power_iters=2
+    )
+    kinds = {kind for kind, _ in lowrank._blocks_data.values()}
+    assert "lreigh" in kinds, kinds
+    v = jax.tree.map(
+        lambda a: jax.random.normal(jax.random.key(42), a.shape), params
+    )
+    out_lr, out_ex = lowrank @ v, exact @ v
+    for (pa, la), (_, le) in zip(
+        jax.tree_util.tree_leaves_with_path(out_lr),
+        jax.tree_util.tree_leaves_with_path(out_ex),
+    ):
+        report_nonclose(la, le, rtol=5e-3, atol=2e-4, name=str(pa))
+
+
+def test_kfac_inverse_rank_deterministic_default_key():
+    model_fn, params, data = _mlp_case([20, 18, 16, 3], batch=4, seed=1)
+    kfac = KFACLinearOperator(
+        model_fn, MSELoss("mean"), params, data, check_deterministic=False
+    )
+    v = jax.tree.map(
+        lambda a: jax.random.normal(jax.random.key(7), a.shape), params
+    )
+    r1 = kfac.inverse(damping=0.1, use_exact_damping=True, rank=8) @ v
+    r2 = kfac.inverse(damping=0.1, use_exact_damping=True, rank=8) @ v
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(r1),
+        jax.tree_util.tree_leaves_with_path(r2),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), str(pa))
+
+
+def test_kfac_inverse_rank_small_blocks_stay_exact():
+    """Blocks whose factors are all <= rank keep the exact eigh path."""
+    model_fn, params, data = _mlp_case([6, 5, 4], batch=4, seed=2)
+    kfac = KFACLinearOperator(
+        model_fn, MSELoss("mean"), params, data, check_deterministic=False
+    )
+    inv = kfac.inverse(damping=0.1, use_exact_damping=True, rank=32)
+    kinds = {kind for kind, _ in inv._blocks_data.values()}
+    assert kinds <= {"eigh", "seigh", "eighd"}, kinds
+
+
+def test_rank_requires_exact_damping():
+    model_fn, params, data = _mlp_case([6, 5, 4], batch=2, seed=3)
+    kfac = KFACLinearOperator(
+        model_fn, MSELoss("mean"), params, data, check_deterministic=False
+    )
+    with pytest.raises(ValueError, match="use_exact_damping"):
+        kfac.inverse(damping=0.1, rank=4)
+    with pytest.raises(ValueError, match="positive int"):
+        kfac.inverse(damping=0.1, use_exact_damping=True, rank=0)
+
+
+def test_scan_stacked_inverse_rank_matches_exact():
+    """Scan-stacked blocks route through the batched stacked lr apply."""
+    L, d, B = 3, 12, 3
+    key = jax.random.key(11)
+    kW, kx, ky, kh = jax.random.split(key, 4)
+    Ws = 0.4 * jax.random.normal(kW, (L, d, d))
+
+    def model_fn(p, x):
+        def body(h, W):
+            return jnp.tanh(h @ W), None
+
+        h, _ = jax.lax.scan(body, x, p["stack"]["W"])
+        return h @ p["head"]["W"]
+
+    params = {"stack": {"W": Ws}, "head": {"W": 0.4 * jax.random.normal(kh, (d, d))}}
+    X = jax.random.normal(kx, (B, d))
+    y = jax.random.normal(ky, (B, d))
+    kfac = KFACLinearOperator(
+        model_fn,
+        MSELoss("mean"),
+        params,
+        [(np.asarray(X), np.asarray(y))],
+        check_deterministic=False,
+    )
+    delta = 0.1  # see the conditioning note in the dense-MLP test above
+    exact = kfac.inverse(damping=delta, use_exact_damping=True)
+    lowrank = kfac.inverse(
+        damping=delta, use_exact_damping=True, rank=10, rank_power_iters=2
+    )
+    kinds = {kind for kind, _ in lowrank._blocks_data.values()}
+    assert "slreigh" in kinds, kinds
+    v = jax.tree.map(
+        lambda a: jax.random.normal(jax.random.key(5), a.shape), params
+    )
+    out_lr, out_ex = lowrank @ v, exact @ v
+    for (pa, la), (_, le) in zip(
+        jax.tree_util.tree_leaves_with_path(out_lr),
+        jax.tree_util.tree_leaves_with_path(out_ex),
+    ):
+        report_nonclose(la, le, rtol=5e-3, atol=2e-4, name=str(pa))
