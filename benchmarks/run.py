@@ -33,6 +33,7 @@ _jax_cfg.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 REPEATS_IN_LOOP = 100
 TIMED_RUNS = 3
@@ -144,11 +145,15 @@ def _timed_chain(kernel_apply, init, *args, jit: bool = True) -> tuple[float, ob
 
     run_chain(3)
     n1, n2 = max(REPEATS_IN_LOOP // 5, 1), REPEATS_IN_LOOP
-    best = float("inf")
+    # MEDIAN of the marginal rates, not min: this runtime's readback can
+    # return EARLY (negative noise), and a single early return poisons a
+    # min() forever.  Median-of-3 rejects one outlier in either direction.
+    samples = []
     for _ in range(TIMED_RUNS):
         t1, t2 = run_chain(n1), run_chain(n2)
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return max(best, 0.0) * 1e3, out, _compiled_stats(fn, init, *args)
+        samples.append((t2 - t1) / (n2 - n1))
+    rate = float(np.median(samples))
+    return max(rate, 0.0) * 1e3, out, _compiled_stats(fn, init, *args)
 
 
 def _timed_loop(kernel_apply, init, *args) -> tuple[float, object, dict]:
@@ -189,12 +194,15 @@ def _timed_loop(kernel_apply, init, *args) -> tuple[float, object, dict]:
         return time.perf_counter() - t0
 
     one_shot(run1), one_shot(run2)  # pipeline warmup
-    best = float("inf")
+    # median, not min — see _timed_chain: early readback returns are
+    # negative noise that poisons a min().
+    samples = []
     for _ in range(TIMED_RUNS):
         t1, t2 = one_shot(run1), one_shot(run2)
-        best = min(best, (t2 - t1) / (n2 - n1))
+        samples.append((t2 - t1) / (n2 - n1))
+    rate = float(np.median(samples))
     single = jax.jit(lambda m, *a: kernel_apply(m, *a))
-    return max(best, 0.0) * 1e3, out, _compiled_stats(single, init, *args)
+    return max(rate, 0.0) * 1e3, out, _compiled_stats(single, init, *args)
 
 
 def _timed(kernel_apply, init, *args, jit: bool = True):

@@ -31,12 +31,34 @@ from curvlinops_tpu.kfac.operator import KFACLinearOperator, make_to_canonical
 
 
 class EKFACComputer(KFACComputer):
-    """KFAC computer + factor eigendecomposition + eigenvalue-correction pass."""
+    """KFAC computer + factor eigendecomposition + eigenvalue-correction pass.
+
+    With ``rank`` given, factor pairs larger than ``rank`` replace the full
+    ``eigh`` with a RANDOMIZED rank-``r`` basis
+    (:func:`curvlinops_tpu.kfac.randomized.batched_randomized_eigh`) and the
+    correction pass accumulates the four sector statistics of
+    :func:`curvlinops_tpu.kfac.randomized.lr_sector_stats` instead of the
+    full ``[D1, D2]`` grid — the build becomes matmul-bound (the corrected
+    spectra live on span x span plus Frobenius-optimal complement means).
+    """
 
     _SUPPORTED_FISHER = (FisherType.TYPE2, FisherType.MC, FisherType.EMPIRICAL)
 
-    def __init__(self, *args, force_strategy: str | None = None, **kwargs):
+    def __init__(
+        self,
+        *args,
+        force_strategy: str | None = None,
+        rank: int | None = None,
+        rank_power_iters: int = 1,
+        rank_key: jax.Array | None = None,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
+        if rank is not None and (not isinstance(rank, int) or rank <= 0):
+            raise ValueError(f"rank must be a positive int, got {rank!r}.")
+        self.rank = rank
+        self.rank_power_iters = rank_power_iters
+        self.rank_key = rank_key
         if self.fisher_type not in self._SUPPORTED_FISHER:
             raise ValueError(
                 f"EKFAC supports fisher types {self._SUPPORTED_FISHER}, got "
@@ -58,6 +80,7 @@ class EKFACComputer(KFACComputer):
             )
         self._force_strategy = force_strategy
         self._corr_kernel_cache: dict = {}
+        self._lr_gis: set = set()
 
     def compute_ekfac(self) -> tuple[dict, dict, dict, list]:
         """Return ``(Q_a, Q_g, corrected_eigenvalues, groups)``."""
@@ -65,13 +88,47 @@ class EKFACComputer(KFACComputer):
         # embedding groups: the diagonal input covariance's eigenbasis is the
         # identity — no eigh, and no Q_a entry (the chain stores Q_g only)
         diag_gis = {gi for gi, g in enumerate(groups) if g.input_diag}
+        # rank-r route: two-factor groups with a factor larger than rank get
+        # randomized partial bases; everything else keeps the exact eigh
+        lr_gis: set = set()
+        if self.rank is not None:
+            for gi in aaT:
+                if gi in diag_gis:
+                    continue
+                if max(aaT[gi].shape[-1], ggT[gi].shape[-1]) > self.rank:
+                    lr_gis.add(gi)
+        self._lr_gis = lr_gis
         eig_a = batched_eigh(
-            {gi: v for gi, v in aaT.items() if gi not in diag_gis},
+            {
+                gi: v
+                for gi, v in aaT.items()
+                if gi not in diag_gis and gi not in lr_gis
+            },
             mesh=self.mesh, data_axis=self.data_axis,
         )
-        eig_g = batched_eigh(ggT, mesh=self.mesh, data_axis=self.data_axis)
+        eig_g = batched_eigh(
+            {gi: v for gi, v in ggT.items() if gi not in lr_gis},
+            mesh=self.mesh, data_axis=self.data_axis,
+        )
         Q_a = {gi: v for gi, (_, v) in eig_a.items()}
         Q_g = {gi: v for gi, (_, v) in eig_g.items()}
+        if lr_gis:
+            from curvlinops_tpu.kfac.randomized import batched_randomized_eigh
+
+            reig = batched_randomized_eigh(
+                {
+                    (gi, side): mats[gi]
+                    for gi in lr_gis
+                    for side, mats in (("a", aaT), ("g", ggT))
+                },
+                self.rank,
+                jax.random.key(0) if self.rank_key is None else self.rank_key,
+                power_iters=self.rank_power_iters,
+            )
+            for gi in lr_gis:
+                # partial bases only — EKFAC recomputes the spectra anyway
+                Q_a[gi] = reig[(gi, "a")][1]
+                Q_g[gi] = reig[(gi, "g")][1]
         # free the covariance stacks before the correction pass — only the
         # eigenvectors are needed, and a 124M-GPT's factors are ~2 GiB
         del aaT, ggT, eig_a, eig_g
@@ -107,7 +164,12 @@ class EKFACComputer(KFACComputer):
                 Q_g,
             )
             for gi, val in out.items():
-                lambdas[gi] = val if gi not in lambdas else lambdas[gi] + val
+                # rank-r groups carry 4-tuples of sector sums; tree-add
+                lambdas[gi] = (
+                    val
+                    if gi not in lambdas
+                    else jax.tree.map(jnp.add, lambdas[gi], val)
+                )
         return Q_a, Q_g, lambdas, groups
 
     def _get_corr_kernel(self, X: Any) -> Callable:
@@ -128,6 +190,7 @@ class EKFACComputer(KFACComputer):
         loss_fn = self.loss_fn
         groups, kfac_approx = self.groups, self.kfac_approx
         force_strategy = self._force_strategy
+        lr_gis = frozenset(self._lr_gis)
         grad_output_fn = make_grad_output_fn(
             loss_fn, self.fisher_type, self.mc_samples
         )
@@ -214,10 +277,17 @@ class EKFACComputer(KFACComputer):
                         if len(a_parts) == 1
                         else jnp.concatenate(a_parts, axis=1)
                     )
-                    lam = kmath.eigenvalue_correction(
-                        g, Q_g[gi], a, Q_a[gi], force_strategy
-                    )
-                out[gi] = corr_eff * lam
+                    if gi in lr_gis:
+                        from curvlinops_tpu.kfac.randomized import (
+                            lr_sector_stats,
+                        )
+
+                        lam = lr_sector_stats(g, Q_g[gi], a, Q_a[gi])
+                    else:
+                        lam = kmath.eigenvalue_correction(
+                            g, Q_g[gi], a, Q_a[gi], force_strategy
+                        )
+                out[gi] = jax.tree.map(lambda t: corr_eff * t, lam)
             return out
 
         return corr_kernel
@@ -229,12 +299,25 @@ class EKFACLinearOperator(KFACLinearOperator):
     Canonical block: ``EighDecomposed(lambda, Kron(Q_g, Q_a))``
     (``ekfac.py:34-67``); ``inverse(damping)`` is ``1/(lambda+delta)`` in the
     same basis (``ekfac.py:69-86``).
+
+    With ``rank=r`` (plus optional ``rank_power_iters``/``rank_key``),
+    factor pairs larger than ``r`` use randomized partial eigenbases and
+    4-sector corrected spectra (:mod:`curvlinops_tpu.kfac.randomized`) —
+    the eigh-bound build phase becomes matmul-bound. ``rank >= D``
+    reproduces the exact path; sufficient rank (> the factors' true rank,
+    e.g. small batches) is exact up to float roundoff.
     """
 
     def __init__(self, model_fn, loss_fn, params, data, **kwargs):
         force_strategy = kwargs.pop("force_strategy", None)
+        rank_kwargs = {
+            k: kwargs.pop(k)
+            for k in ("rank", "rank_power_iters", "rank_key")
+            if k in kwargs
+        }
         computer = EKFACComputer(
-            model_fn, loss_fn, params, data, force_strategy=force_strategy, **kwargs
+            model_fn, loss_fn, params, data, force_strategy=force_strategy,
+            **rank_kwargs, **kwargs,
         )
         Q_a, Q_g, lambdas, groups = computer.compute_ekfac()
         self._params, self._groups = params, groups
@@ -243,9 +326,19 @@ class EKFACLinearOperator(KFACLinearOperator):
         self._computer = computer
 
     def _rebuild_chain(self) -> None:
+        from curvlinops_tpu.kfac.randomized import lr_corrected_data
+
         blocks_data = {}
         for gi, group in enumerate(self._groups):
             lam = self._lambdas[gi]
+            if isinstance(lam, (tuple, list)):
+                # rank-r group: accumulated sector sums -> sector spectra
+                data = lr_corrected_data(
+                    self._Q_g[gi], self._Q_a[gi], tuple(lam)
+                )
+                kind = "slreigh" if group.stack else "lreigh"
+                blocks_data[gi] = (kind, data)
+                continue
             if group.input_diag:
                 blocks_data[gi] = (
                     "eighd",
@@ -268,15 +361,33 @@ class EKFACLinearOperator(KFACLinearOperator):
 
     @property
     def corrected_eigenvalues(self) -> dict:
-        """Per-group corrected eigenvalues."""
+        """Per-group corrected eigenvalues.
+
+        Rank-``r`` groups hold their accumulated sector sums
+        ``(lam11, row_g, col_a, total)`` instead of a dense grid (see
+        :func:`curvlinops_tpu.kfac.randomized.lr_corrected_data`).
+        """
         return self._lambdas
 
     def inverse(self, damping: float = 0.0) -> KroneckerChainOperator:
-        """Damped inverse ``1/(lambda+delta)`` in the Kronecker eigenbasis."""
+        """Damped inverse ``1/(lambda+delta)`` in the Kronecker eigenbasis.
+
+        Rank-``r`` sector blocks invert in the same sector decomposition
+        (it diagonalizes both the spectrum and its damped inverse).
+        """
+        from curvlinops_tpu.kfac.randomized import lr_map_scales
+
         blocks_data = {}
         for gi in sorted(self._blocks_data):
-            kind, (lam, Qs) = self._blocks_data[gi]
-            blocks_data[gi] = (kind, (1.0 / (lam + damping), Qs))
+            kind, payload = self._blocks_data[gi]
+            if kind in ("lreigh", "slreigh"):
+                blocks_data[gi] = (
+                    kind,
+                    lr_map_scales(payload, lambda s: 1.0 / (s + damping)),
+                )
+            else:
+                lam, Qs = payload
+                blocks_data[gi] = (kind, (1.0 / (lam + damping), Qs))
         return KroneckerChainOperator(
             self._params, blocks_data, self._to_canonical, self._from_canonical
         )
@@ -292,7 +403,12 @@ class EKFACLinearOperator(KFACLinearOperator):
         self._Q_a = {int(k): jnp.asarray(v) for k, v in state["Q_a"].items()}
         self._Q_g = {int(k): jnp.asarray(v) for k, v in state["Q_g"].items()}
         self._lambdas = {
-            int(k): jnp.asarray(v) for k, v in state["lambdas"].items()
+            int(k): (
+                tuple(jnp.asarray(x) for x in v)  # rank-r sector sums
+                if isinstance(v, (tuple, list))
+                else jnp.asarray(v)
+            )
+            for k, v in state["lambdas"].items()
         }
         self._rebuild_chain()
         self.invalidate_traced()

@@ -310,10 +310,152 @@ def lr_apply_stacked(data: tuple, comp: jax.Array) -> jax.Array:
     return out.reshape(L * dA * dG, K)
 
 
-class LowRankDampedInverseOperator(LinearOperator):
-    """One block of a rank-``r`` randomized exact-damped KFAC inverse."""
+# --------------------------------------------------------------------------
+# rank-r EKFAC: sector-corrected spectra (randomized EKFAC)
+# --------------------------------------------------------------------------
+
+
+def lr_sector_stats(
+    g: jax.Array, U_g: jax.Array, a: jax.Array, U_a: jax.Array
+) -> tuple:
+    r"""Per-batch sector sums for rank-``r`` EKFAC eigenvalue correction.
+
+    With partial factor bases ``U_g [D1, r1]``, ``U_a [D2, r2]`` and
+    per-sample sharing-format gradients ``P_vn = sum_s g_vns a_ns^T``,
+    returns the four quadratic statistics the Frobenius-optimal sector
+    spectra need (:func:`lr_corrected_data`):
+
+    - ``lam11 [r1, r2] = sum_vn (U_g^T P_vn U_a)^2`` — the span x span
+      corrected eigenvalues (exactly
+      :func:`curvlinops_tpu.kfac.math.eigenvalue_correction` restricted to
+      the partial bases),
+    - ``row_g [r1] = sum_vn ||U_g^T P_vn||_F^2`` per basis vector,
+    - ``col_a [r2] = sum_vn ||P_vn U_a||_F^2`` per basis vector,
+    - ``total = sum_vn ||P_vn||_F^2`` (via sequence Gramians — ``P`` is
+      never materialized).
+
+    Stacked scan groups (``g [L, V, B, S, D1]`` etc.) batch over the stack.
+    """
+    if g.ndim == 5:
+        return jax.vmap(lr_sector_stats)(g, U_g, a, U_a)
+    zg = jnp.einsum("id,vbsi->vbsd", U_g, g)
+    za = jnp.einsum("jd,bsj->bsd", U_a, a)
+    M11 = jnp.einsum("vbsi,bsj->vbij", zg, za)
+    lam11 = jnp.sum(M11**2, axis=(0, 1))
+    Rg = jnp.einsum("vbsi,bsj->vbij", zg, a)
+    row_g = jnp.sum(Rg**2, axis=(0, 1, 3))
+    Ca = jnp.einsum("vbsi,bsj->vbij", g, za)  # [V, B, D1, r2]
+    col_a = jnp.sum(Ca**2, axis=(0, 1, 2))
+    gg = jnp.einsum("vbsi,vbti->vbst", g, g)
+    aa = jnp.einsum("bsj,btj->bst", a, a)
+    total = jnp.einsum("vbst,bst->", gg, aa)
+    return lam11, row_g, col_a, total
+
+
+def lr_corrected_data(U_g: jax.Array, U_a: jax.Array, stats: tuple) -> tuple:
+    """Assemble the sector operator data from accumulated sector sums.
+
+    The Frobenius-optimal approximation of the Fisher block within the
+    sector structure ``{span(U_g), perp} x {span(U_a), perp}`` carries the
+    exact corrected eigenvalues on span x span and the MEAN per-direction
+    mass on each complement sector (inclusion-exclusion over the four
+    quadratic sums; clipped at zero against roundoff cancellation).
+
+    Returns the ``(U_A, U_G, S11, s12, s21, s22)`` tuple of
+    :func:`lr_apply` — U_A/U_G are positional slot names (canonical blocks
+    put the gradient-covariance side first).
+    """
+    lam11, row_g, col_a, total = stats
+    dA, rA = U_g.shape[-2], U_g.shape[-1]
+    dG, rG = U_a.shape[-2], U_a.shape[-1]
+    s12 = jnp.clip(row_g - lam11.sum(-1), 0.0) / max(dG - rG, 1)
+    s21 = jnp.clip(col_a - lam11.sum(-2), 0.0) / max(dA - rA, 1)
+    s22 = jnp.clip(
+        total - row_g.sum(-1) - col_a.sum(-1) + lam11.sum((-2, -1)), 0.0
+    ) / max((dA - rA) * (dG - rG), 1)
+    return (U_g, U_a, lam11, s12, s21, s22)
+
+
+def lr_map_scales(data: tuple, f) -> tuple:
+    """Apply ``f`` elementwise to the four sector-scale slots (bases kept).
+
+    ``f = lambda s: 1/(s + delta)`` turns a sector spectrum into its damped
+    inverse — the sector decomposition diagonalizes both.
+    """
+    U_A, U_G, S11, s12, s21, s22 = data
+    return (U_A, U_G, f(S11), f(s12), f(s21), f(s22))
+
+
+def _lr_dims(data: tuple, stacked: bool) -> tuple:
+    U_A, U_G = data[0], data[1]
+    off = 1 if stacked else 0
+    dA, rA = U_A.shape[off], U_A.shape[off + 1]
+    dG, rG = U_G.shape[off], U_G.shape[off + 1]
+    return dA, rA, dG, rG
+
+
+def _lr_spectrum_reductions(data: tuple, stacked: bool) -> dict:
+    """trace/frobenius²/logdet of a sector operator, closed-form.
+
+    The sector eigenvalues are ``S11`` (multiplicity 1), ``s12_i``
+    (multiplicity ``dG - rG`` each), ``s21_j`` (``dA - rA`` each) and
+    ``s22`` (``(dA-rA)(dG-rG)``). Logdet is NaN on any non-positive
+    eigenvalue (torch semantics, see ``ops/kronecker.py::logdet``).
+    Stacked data reduces over all slices.
+    """
+    U_A, U_G, S11, s12, s21, s22 = data
+    dA, rA, dG, rG = _lr_dims(data, stacked)
+    mG, mA = dG - rG, dA - rA
+
+    def red(f):
+        return (
+            f(S11).sum()
+            + mG * f(s12).sum()
+            + mA * f(s21).sum()
+            + mA * mG * f(s22).sum()
+        )
+
+    safe_log = lambda x: jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), jnp.nan)
+    return {
+        "trace": red(lambda x: x),
+        "frob2": red(lambda x: x**2),
+        "logdet": red(safe_log),
+    }
+
+
+class _LowRankSectorBase(LinearOperator):
+    """Shared matrix properties of the sector operators."""
 
     SELF_ADJOINT = True
+    _STACKED = False
+
+    def trace(self) -> jax.Array:
+        """Exact trace (closed form over the sector spectrum)."""
+        return _lr_spectrum_reductions(self._data, self._STACKED)["trace"]
+
+    def frobenius_norm(self) -> jax.Array:
+        """Exact Frobenius norm."""
+        return jnp.sqrt(
+            _lr_spectrum_reductions(self._data, self._STACKED)["frob2"]
+        )
+
+    def logdet(self) -> jax.Array:
+        """Exact log-determinant; NaN on a non-positive sector eigenvalue."""
+        return _lr_spectrum_reductions(self._data, self._STACKED)["logdet"]
+
+    def det(self) -> jax.Array:
+        """Exact determinant (``exp(logdet)``; sectors are PSD by
+        construction, so the exponential form loses nothing)."""
+        return jnp.exp(self.logdet())
+
+
+class LowRankSectorOperator(_LowRankSectorBase):
+    """One 4-sector block: ``U diag U^T`` structure per sector.
+
+    Used both for the rank-``r`` randomized damped INVERSE (scales =
+    inverse spectra) and for rank-``r`` EKFAC blocks (scales = corrected
+    spectra) — the apply is the same batched-matmul sector rotation.
+    """
 
     def __init__(self, data: tuple):
         U_A, U_G = data[0], data[1]
@@ -325,10 +467,10 @@ class LowRankDampedInverseOperator(LinearOperator):
         return lr_apply(self._data, M)
 
 
-class StackedLowRankDampedInverseOperator(LinearOperator):
-    """``L`` low-rank damped-inverse blocks batched over a stack axis."""
+class StackedLowRankSectorOperator(_LowRankSectorBase):
+    """``L`` sector blocks batched over a leading stack axis."""
 
-    SELF_ADJOINT = True
+    _STACKED = True
 
     def __init__(self, data: tuple):
         U_A, U_G = data[0], data[1]
@@ -338,3 +480,8 @@ class StackedLowRankDampedInverseOperator(LinearOperator):
 
     def _matmat(self, M: jax.Array) -> jax.Array:
         return lr_apply_stacked(self._data, M)
+
+
+# former names of the sector operators (the damped-inverse application)
+LowRankDampedInverseOperator = LowRankSectorOperator
+StackedLowRankDampedInverseOperator = StackedLowRankSectorOperator
