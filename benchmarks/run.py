@@ -28,6 +28,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax as _jax_cfg  # noqa: E402
 
+if "--cpu" in sys.argv:
+    # env vars are TOO LATE on this machine (jax is pre-imported with the
+    # axon platform pinned); only the config switch works. Without this
+    # flag a "CPU" run silently lands on the shared TPU tunnel.
+    _jax_cfg.config.update("jax_platforms", "cpu")
 _jax_cfg.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 _jax_cfg.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -38,6 +43,7 @@ import numpy as np
 REPEATS_IN_LOOP = 100
 TIMED_RUNS = 3
 TIMING = "loop"  # set from --timing; "chain" = legacy host-dispatch chains
+RANK = None  # set from --rank; adds randomized rank-r build/matvec rows
 def _device_peak_memory_gib() -> float | None:
     try:
         stats = jax.local_devices()[0].memory_stats()
@@ -421,7 +427,28 @@ def bench_kfac(prob, results: dict, kfac_approx: str = "expand") -> None:
     results["KFAC inverse matvec (ms)"] = round(
         _timed_operator_matvec(inv, M), 3
     )
-    del inv, kfac, M  # release factor HBM before the next phase
+    del inv
+
+    if RANK is not None:
+        # randomized rank-r inverse build: matmul-bound replacement for the
+        # eigh-bound phase above (kfac/randomized.py)
+        rinv = kfac.inverse(
+            damping=1e-3, use_exact_damping=True, rank=RANK
+        )
+        _single_readback(list(rinv._blocks_data.values()))
+        t0 = time.perf_counter()
+        rinv = kfac.inverse(
+            damping=1e-3, use_exact_damping=True, rank=RANK
+        )
+        _single_readback(list(rinv._blocks_data.values()))
+        results[f"KFAC inverse build rank={RANK} (s)"] = round(
+            time.perf_counter() - t0, 4
+        )
+        results[f"KFAC inverse matvec rank={RANK} (ms)"] = round(
+            _timed_operator_matvec(rinv, M), 3
+        )
+        del rinv
+    del kfac, M  # release factor HBM before the next phase
 
 
 def bench_ekfac(prob, results: dict) -> None:
@@ -448,11 +475,38 @@ def bench_ekfac(prob, results: dict) -> None:
     # steady-state build: kernels are compiled; drop the operator's factor
     # state first so only one eigendecomposition set is alive at a time
     computer = ekfac._computer
-    del ekfac, M
+    del ekfac
     t0 = time.perf_counter()
     out = computer.compute_ekfac()
     _single_readback(out[:3])
     results["EKFAC build (s)"] = round(time.perf_counter() - t0, 4)
+    del computer, out
+
+    if RANK is not None:
+        from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator as _EK
+
+        rek = _EK(
+            prob.kfac_model_fn,
+            prob.loss_fn,
+            prob.kfac_params,
+            prob.data,
+            fisher_type="mc",
+            mc_samples=1,
+            check_deterministic=False,
+            rank=RANK,
+        )
+        results[f"EKFAC matvec rank={RANK} (ms)"] = round(
+            _timed_operator_matvec(rek, M), 3
+        )
+        computer = rek._computer
+        del rek
+        t0 = time.perf_counter()
+        out = computer.compute_ekfac()
+        _single_readback(out[:3])
+        results[f"EKFAC build rank={RANK} (s)"] = round(
+            time.perf_counter() - t0, 4
+        )
+    del M
 
 
 def run_benchmarks(prob, ops, results: dict) -> None:
@@ -536,6 +590,16 @@ def main() -> None:
         "(reduce exercises the averaged-patch no-materialization path)",
     )
     parser.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (handled at import; listed here so "
+        "argparse accepts it)",
+    )
+    parser.add_argument(
+        "--rank", type=int, default=None,
+        help="also measure the randomized rank-r KFAC inverse / EKFAC "
+        "builds (kfac/randomized.py) at this rank",
+    )
+    parser.add_argument(
         "--timing", default="loop", choices=["loop", "chain"],
         help="loop (default): fori_loop-embedded marginal rate, pure device "
         "time; chain: legacy host-dispatch chains (+~1.5 ms/link tunnel "
@@ -575,8 +639,9 @@ def main() -> None:
     unknown = [o for o in ops if o not in known_ops]
     if unknown:  # a typo'd op silently skipping would corrupt provenance
         parser.error(f"unknown --ops {unknown}; known: {sorted(known_ops)}")
-    global TIMING
+    global TIMING, RANK
     TIMING = args.timing
+    RANK = args.rank
     prob = setup(**setup_kwargs)
 
     print(f"problem={prob.name} device={jax.devices()[0]}", file=sys.stderr)
@@ -620,6 +685,10 @@ def main() -> None:
         suffix += "_scan"
     if args.attention:
         suffix += f"_{args.attention}"
+    if args.cpu:
+        # smoke-test mode: never let CPU walls overwrite device results
+        print(json.dumps(results, indent=2))
+        return
     out_file = out_dir / f"{prob.name}{suffix}.json"
     if out_file.exists():  # merge: partial runs must not drop earlier metrics
         merged = json.loads(out_file.read_text())
