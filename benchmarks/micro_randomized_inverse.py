@@ -95,7 +95,11 @@ def main() -> None:
         name: synth_factor(jax.random.key(i), L, D)
         for i, (name, (L, D)) in enumerate(SHAPES.items())
     }
-    results = {"damping": DAMPING, "decay": DECAY}
+    results = {
+        "device": str(jax.devices()[0]),
+        "damping": DAMPING,
+        "decay": DECAY,
+    }
 
     # exact build (the eigh-bound phase), warm then timed
     exact_fn = jax.jit(batched_eigh)

@@ -427,7 +427,6 @@ def bench_kfac(prob, results: dict, kfac_approx: str = "expand") -> None:
     results["KFAC inverse matvec (ms)"] = round(
         _timed_operator_matvec(inv, M), 3
     )
-    del inv
 
     if RANK is not None:
         # randomized rank-r inverse build: matmul-bound replacement for the
@@ -447,8 +446,19 @@ def bench_kfac(prob, results: dict, kfac_approx: str = "expand") -> None:
         results[f"KFAC inverse matvec rank={RANK} (ms)"] = round(
             _timed_operator_matvec(rinv, M), 3
         )
-        del rinv
-    del kfac, M  # release factor HBM before the next phase
+        # quality: normwise deviation from the exact damped inverse on the
+        # REAL factors (the micro benchmark uses synthetic spectra)
+        ex = inv @ M
+        ap = rinv @ M
+        num = den = jnp.asarray(0.0, jnp.float32)
+        for e, a in zip(jax.tree.leaves(ex), jax.tree.leaves(ap)):
+            num = num + jnp.sum((e - a).astype(jnp.float32) ** 2)
+            den = den + jnp.sum(e.astype(jnp.float32) ** 2)
+        results[f"KFAC inverse rank={RANK} rel err"] = round(
+            float(jnp.sqrt(num / den)), 5
+        )
+        del rinv, ex, ap
+    del inv, kfac, M  # release factor HBM before the next phase
 
 
 def bench_ekfac(prob, results: dict) -> None:
