@@ -124,6 +124,8 @@ class EKFACComputer(KFACComputer):
                 self.rank,
                 jax.random.key(0) if self.rank_key is None else self.rank_key,
                 power_iters=self.rank_power_iters,
+                mesh=self.mesh,
+                data_axis=self.data_axis,
             )
             for gi in lr_gis:
                 # partial bases only — EKFAC recomputes the spectra anyway

@@ -340,6 +340,8 @@ class KFACLinearOperator(KroneckerChainOperator):
                     rank,
                     jax.random.key(0) if rank_key is None else rank_key,
                     power_iters=rank_power_iters,
+                    mesh=getattr(self, "_mesh", None),
+                    data_axis=getattr(self, "_data_axis", "data"),
                 )
             for gi in sorted(self._blocks_data):
                 kind, factors = self._blocks_data[gi]

@@ -253,3 +253,44 @@ def test_held_linearization_across_mesh(mesh):
     ).linearized()
     v = np.random.default_rng(1).normal(size=G1.shape[0]).astype(np.float32)
     report_nonclose(G1 @ v, G2 @ v, rtol=1e-5, atol=1e-6, name="mesh held")
+
+
+def test_kfac_rank_inverse_across_mesh(mesh):
+    """inverse(rank=) with a mesh (sharded range finder + sharded core eigh)
+    matches the single-device randomized build: identical omega (zero-padded
+    slots are dropped in-program), so the results differ only by reduction
+    order."""
+    case = make_case("mlp_mse_mean")
+    X = jnp.concatenate([case["data"][0][0]] * 2)[:8]
+    y = jnp.concatenate([case["data"][0][1]] * 2)[:8]
+    data = [(X, y)]
+    kwargs = dict(fisher_type="type-2", check_deterministic=False)
+    k0 = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data, **kwargs
+    )
+    k8 = KFACLinearOperator(
+        case["model_fn"], case["loss_fn"], case["params"], data,
+        mesh=mesh, **kwargs
+    )
+    v = np.random.default_rng(0).standard_normal(k0.shape[0]).astype(np.float32)
+    key = jax.random.key(3)
+    r0 = k0.inverse(damping=0.1, use_exact_damping=True, rank=6, rank_key=key) @ v
+    r8 = k8.inverse(damping=0.1, use_exact_damping=True, rank=6, rank_key=key) @ v
+    report_nonclose(r0, r8, 1e-3, 1e-5, name="rank-r inverse")
+
+
+def test_batched_randomized_eigh_across_mesh(mesh):
+    """Sharded rank-r decomposition reconstructs like the local one."""
+    from curvlinops_tpu.kfac.randomized import batched_randomized_eigh
+
+    mats = {}
+    for i, d in enumerate([24, 24, 10]):
+        B = jax.random.normal(jax.random.key(i), (d, d)) / jnp.sqrt(d)
+        lam = (1.0 + jnp.arange(d, dtype=jnp.float32)) ** (-2.0)
+        mats[f"m{i}"] = jnp.einsum("de,e,fe->df", B, lam, B)
+    key = jax.random.key(9)
+    out0 = batched_randomized_eigh(mats, 8, key)
+    out8 = batched_randomized_eigh(mats, 8, key, mesh=mesh)
+    for k in mats:
+        for a, b, nm in zip(out0[k], out8[k], ("lam", "U", "tail")):
+            report_nonclose(a, b, 1e-3, 1e-5, name=f"{k} {nm}")

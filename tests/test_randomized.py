@@ -27,8 +27,8 @@ from curvlinops_tpu.kfac.randomized import (
     lr_corrected_data,
     lr_damped_inverse_data,
     lr_sector_stats,
+    orthonormal_range,
     randomized_eigh,
-    spectral_orthonormalize,
 )
 from curvlinops_tpu.losses import MSELoss
 
@@ -131,27 +131,54 @@ def test_stacked_sector_inverse_matches_per_slice():
 # ---------------------------------------------------------------------------
 
 
-def test_spectral_orthonormalize():
+def test_orthonormal_range():
     Y = jax.random.normal(jax.random.key(4), (3, 20, 6))
-    Q = spectral_orthonormalize(Y)
+    Q = orthonormal_range(Y)
     eye = jnp.einsum("bdr,bds->brs", Q, Q)
     report_nonclose(
         eye, jnp.broadcast_to(jnp.eye(6), eye.shape), atol=1e-5, name="QtQ"
     )
 
 
-def test_spectral_orthonormalize_rank_deficient():
-    """Columns beyond the true rank come back as exact zeros, not noise."""
-    base = jax.random.normal(jax.random.key(12), (20, 3))
-    mix = jax.random.normal(jax.random.key(13), (3, 8))
-    Q = spectral_orthonormalize(base @ mix)  # 8 columns, rank 3
+def test_orthonormal_range_extreme_spectrum():
+    """Householder QR keeps FULL orthonormality on a power-law-2 spectrum.
+
+    Regression for the round-3 Gram-based orthonormalization, whose squared
+    dynamic range capped the effective captured rank at ~15 directions in f32
+    (the non-monotone quality curve VERDICT round 3 flagged).
+    """
+    D, r = 512, 128
+    key = jax.random.key(12)
+    B = jax.random.normal(key, (D, D)) / jnp.sqrt(D)
+    lam = (1.0 + jnp.arange(D, dtype=jnp.float32)) ** (-2.0)
+    S = jnp.einsum("de,e,fe->df", B, lam, B)
+    Y = S @ jax.random.normal(jax.random.key(13), (D, r))
+    Q = orthonormal_range(Y)
     G = Q.T @ Q
-    # exactly 3 orthonormal directions, the rest zero
-    assert int(jnp.sum(jnp.abs(jnp.diag(G)) > 0.5)) == 3
-    col_norms = jnp.linalg.norm(Q, axis=0)
-    assert float(jnp.sort(col_norms)[:-3].max()) == 0.0
-    offdiag = G - jnp.diag(jnp.diag(G))
-    assert float(jnp.abs(offdiag).max()) < 1e-5
+    assert float(jnp.abs(G - jnp.eye(r)).max()) < 1e-4
+    # every column is a real basis vector — no silent rank collapse
+    assert float(jnp.linalg.norm(Q, axis=0).min()) > 0.99
+
+
+def test_randomized_eigh_quality_monotone_in_rank():
+    """More rank must mean a (weakly) better reconstruction.
+
+    The direct regression test for the round-3 bug: with the Gram-based
+    range finder, rank 512 reconstructed WORSE than rank 128 because almost
+    all basis columns were zeroed by the noise threshold.
+    """
+    D = 768
+    B = jax.random.normal(jax.random.key(20), (D, D)) / jnp.sqrt(D)
+    lam = (1.0 + jnp.arange(D, dtype=jnp.float32)) ** (-2.0)
+    S = jnp.einsum("de,e,fe->df", B, lam, B)
+    errs = []
+    for rank in (64, 128, 256):
+        lam_r, U, tail = randomized_eigh(S, rank, jax.random.key(1))
+        approx = (U * lam_r) @ U.T + tail * (jnp.eye(D) - U @ U.T)
+        errs.append(float(jnp.linalg.norm(approx - S) / jnp.linalg.norm(S)))
+    assert errs[0] > errs[1] > errs[2], errs
+    # and the basis must be genuinely orthonormal at every rank
+    assert float(jnp.abs(U.T @ U - jnp.eye(256)).max()) < 1e-4
 
 
 def test_randomized_eigh_full_rank_is_exact():
