@@ -17,6 +17,16 @@ oracle — is a silent miscompute and fails the suite with its seed pinned.
 
 A second oracle fuzzes the ``lax.scan`` path: a random scanned layer stack
 must produce the operator of its unrolled twin, slice by slice.
+
+A third oracle family covers what one-datum TYPE2 cannot see: deep-LINEAR
+nets + MSE are exactly block-diagonal-GGN for KFAC even with batches ``B>1``,
+multiple (ragged) batches, and weight sharing — the reference's
+``test/kfac_cases.py:76-120`` EXPAND/REDUCE axis.  Fuzzing sequence lengths,
+sharing dims, reductions, and batch splits here catches silent SCALING bugs
+(normalization, loss correction, sharing-axis concatenation) invisible to
+the B=1 oracle.  ``lax.cond`` is excluded by design: different batches can
+take different branches, which breaks the Kronecker factorization across
+batches legitimately (approximation error, not a miscompute).
 """
 
 import random
@@ -26,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from curvlinops_tpu import CrossEntropyLoss, FisherType, MSELoss
+from curvlinops_tpu import CrossEntropyLoss, FisherType, KFACType, MSELoss
 from curvlinops_tpu.kfac.operator import KFACLinearOperator
 
 from tests.test_kfac import blockdiag_projection
@@ -366,3 +376,151 @@ def test_fuzz_scan_equals_unrolled(chunk, n_per_chunk=10):
                 r_s_mapped["head"]["W"], r_u["head"]["W"],
                 rtol=5e-4, atol=5e-5, name=f"seed {seed} head",
             )
+
+
+# ---------------------------------------------------------------------------
+# oracle 3: deep-linear + MSE sharing/scaling exactness (S>1, multi-batch)
+# ---------------------------------------------------------------------------
+
+
+def _gen_linear_segment(rng, idx, d_in, params, prev_biased=False):
+    """One LINEAR feature segment (dense variants / views / bias-only).
+
+    Returns ``(apply, d_out, ends_biased)``.  A bias-only segment directly
+    after a biased one is skipped from the draw: two consecutive adds merge
+    into one layer with conflicting biases — a correct refusal, but drawing
+    it often makes chunks vacuous.  (``dense_slice`` stays in the pool even
+    though it always refuses — slice views are not invertible — because the
+    refusal-path coverage is part of the oracle.)
+    """
+    kinds = ["dense", "dense", "dense_T", "dense_flat", "dense_slice"]
+    if not prev_biased:
+        kinds.append("bias_only")
+    kind = rng.choice(kinds)
+    name = f"seg{idx}"
+    if kind == "bias_only":
+        params[name] = {"b": _normal(rng, (d_in,))}
+        return (lambda p, x, n=name: x + p[n]["b"]), d_in, True
+    d_out = rng.choice([2, 3, 4])
+    bias = rng.random() < 0.6
+    if kind == "dense":
+        params[name] = {"W": _normal(rng, (d_in, d_out))}
+    elif kind == "dense_T":
+        params[name] = {"W": _normal(rng, (d_out, d_in))}
+    elif kind == "dense_flat":
+        params[name] = {"w": _normal(rng, (d_in * d_out,))}
+    else:  # dense_slice
+        params[name] = {"W": _normal(rng, (d_in + 2, d_out))}
+    if bias:
+        params[name]["b"] = _normal(rng, (d_out,), 0.1)
+
+    def apply(p, x, n=name, k=kind, d=d_in, o=d_out, bias=bias):
+        if k == "dense":
+            h = x @ p[n]["W"]
+        elif k == "dense_T":
+            h = x @ p[n]["W"].T
+        elif k == "dense_flat":
+            h = x @ p[n]["w"].reshape(d, o)
+        else:
+            h = x @ p[n]["W"][1 : 1 + d]
+        return h + p[n]["b"] if bias else h
+
+    return apply, d_out, bias
+
+
+def build_linear_sharing_case(seed):
+    """Random deep-linear net + MSE with sharing/batch-split fuzzing.
+
+    KFAC TYPE2 on linear nets with MSE is exactly the block-diagonal GGN in
+    all three settings (none / EXPAND / REDUCE-mean-pool) — any deviation is
+    a scaling or sharing-axis miscompute.
+    """
+    rng = random.Random(seed)
+    params = {}
+    first_d = d = rng.choice([2, 3, 4])
+    segments = []
+    biased = False
+    for idx in range(rng.choice([1, 2, 3])):
+        seg, d, biased = _gen_linear_segment(rng, idx, d, params, biased)
+        segments.append(seg)
+
+    setting = rng.choice(["none", "expand", "expand", "reduce", "reduce"])
+    share_dims = (
+        ()
+        if setting == "none"
+        else tuple(
+            rng.choice([2, 3, 5]) for _ in range(rng.choice([1, 1, 1, 2]))
+        )
+    )
+    head = setting == "reduce" and rng.random() < 0.5
+    if head:
+        params["head"] = {"W": _normal(rng, (d, rng.choice([2, 3])))}
+
+    def model_fn(p, x):
+        for seg in segments:
+            x = seg(p, x)
+        if setting == "reduce":
+            x = x.mean(axis=tuple(range(1, 1 + len(share_dims))))
+            if head:
+                x = x @ p["head"]["W"]
+        return x
+
+    d_out = d if not head else params["head"]["W"].shape[1]
+    batches = rng.choice([1, 2, 3])
+    sizes = [rng.choice([1, 2, 4]) for _ in range(batches)]
+    data = []
+    for B in sizes:
+        X = _normal(rng, (B, *share_dims, first_d), 1.0)
+        y_shape = (
+            (B, *share_dims, d_out) if setting == "expand" else (B, d_out)
+        )
+        y = _normal(rng, y_shape, 1.0)
+        data.append((X, y))
+    approx = KFACType.REDUCE if setting == "reduce" else KFACType.EXPAND
+    return dict(
+        model_fn=model_fn,
+        loss_fn=MSELoss(rng.choice(["mean", "sum"])),
+        params=params,
+        data=data,
+        separate=rng.random() < 0.7,
+        kfac_approx=approx,
+        setting=setting,
+    )
+
+
+@pytest.mark.parametrize("chunk", range(6))
+def test_fuzz_linear_sharing_exact_or_refuse(chunk, n_per_chunk=20):
+    """120 generated deep-linear sharing cases: exact or refuse."""
+    built, refused = 0, 0
+    for seed in range(chunk * n_per_chunk, (chunk + 1) * n_per_chunk):
+        case = build_linear_sharing_case(seed)
+        try:
+            kfac = KFACLinearOperator(
+                case["model_fn"],
+                case["loss_fn"],
+                case["params"],
+                case["data"],
+                fisher_type=FisherType.TYPE2,
+                kfac_approx=case["kfac_approx"],
+                separate_weight_and_bias=case["separate"],
+                check_deterministic=False,
+            )
+            dense_kfac = np.asarray(kfac.todense())
+        except (ValueError, NotImplementedError):
+            refused += 1
+            continue
+        built += 1
+        dense = dense_ggn(
+            case["model_fn"], case["loss_fn"], case["params"], case["data"]
+        )
+        expected = blockdiag_projection(
+            np.asarray(dense), case["params"], kfac.groups
+        )
+        report_nonclose(
+            dense_kfac,
+            expected,
+            rtol=5e-3,
+            atol=1e-5,
+            name=f"seed {seed} ({case['setting']})",
+        )
+    assert built >= n_per_chunk // 3, (built, refused)
