@@ -46,6 +46,7 @@ _jax_cfg.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from curvlinops_tpu.kfac.chain import batched_eigh
 from curvlinops_tpu.kfac.randomized import (
@@ -65,6 +66,10 @@ SHAPES = {
     "aaT_down": (12, 3073),
     "ggT_down": (12, 769),
 }
+RANKS = (128, 256, 512)
+if "--smoke" in sys.argv:  # tiny-shape correctness pass (CPU)
+    SHAPES = {k: (3, max(s // 16, 8)) for k, (L, s) in SHAPES.items()}
+    RANKS = (16, 32)
 DAMPING = 1e-3
 DECAY = 2.0  # power-law exponent lam_i ~ i^-DECAY (typical KFAC spectra)
 
@@ -89,6 +94,42 @@ def one_shot(fn, *args):
     return time.perf_counter() - t0, out
 
 
+def loop_rate_ms(kernel, v, *consts, n1=4, n2=20, reps=3):
+    """Per-application ms via ``fori_loop``-embedded marginal rate.
+
+    Same methodology as ``run.py::_timed_loop``: iterations are
+    data-dependent, dispatch is paid once per program, and the reported
+    number is the median marginal rate between two loop lengths — robust to
+    this runtime's early readback returns.  Large operator state (bases,
+    spectra) must come in via ``*consts`` — closure-captured arrays become
+    HLO constants and the remote compile service rejects >~100 MB request
+    bodies (HTTP 413).
+    """
+
+    def make(n):
+        @jax.jit
+        def run(m, *cs):
+            return jax.lax.fori_loop(0, n, lambda _, mm: kernel(mm, *cs), m)
+
+        return run
+
+    run1, run2 = make(n1), make(n2)
+    jax.block_until_ready(run1(v, *consts))
+    jax.block_until_ready(run2(v, *consts))
+
+    def shot(runner):
+        t0 = time.perf_counter()
+        o = runner(v, *consts)
+        float(jnp.sum(jax.tree.leaves(o)[0]))
+        return time.perf_counter() - t0
+
+    shot(run1), shot(run2)
+    samples = [
+        (shot(run2) - shot(run1)) / (n2 - n1) for _ in range(reps)
+    ]
+    return max(float(np.median(samples)), 0.0) * 1e3
+
+
 def main() -> None:
     print(f"devices: {jax.devices()}", flush=True)
     mats = {
@@ -108,7 +149,32 @@ def main() -> None:
     print(f"exact batched_eigh build: {t_exact:.3f} s", flush=True)
     results["exact build (s)"] = round(t_exact, 4)
 
-    for rank in (128, 256, 512):
+    # exact damped-inverse matvec on the qkv block (the cost the rank-r
+    # sector apply must be compared against)
+    lamA0, QA0 = eig["aaT_qkv"]
+    lamG0, QG0 = eig["ggT_qkv"]
+    L, dA = SHAPES["aaT_qkv"]
+    dG = SHAPES["ggT_qkv"][1]
+    inv_lam0 = 1.0 / (
+        (lamA0[:, :, None] * lamG0[:, None, :]).reshape(L, -1) + DAMPING
+    )
+
+    def exact_apply_norm(v, QA, QG, inv_lam):
+        X = v.reshape(L, dA, dG, -1)
+        W = jnp.einsum("lda,ldgk->lagk", QA, X)
+        W = jnp.einsum("lgb,lagk->labk", QG, W)
+        W = inv_lam.reshape(L, dA, dG)[..., None] * W
+        W = jnp.einsum("lda,labk->ldbk", QA, W)
+        W = jnp.einsum("lgb,ldbk->ldgk", QG, W)
+        out = W.reshape(L * dA * dG, -1)
+        return out / jnp.linalg.norm(out)  # keep the iteration bounded
+
+    v0 = jax.random.normal(jax.random.key(7), (L * dA * dG, 1))
+    t_mv_exact = loop_rate_ms(exact_apply_norm, v0, QA0, QG0, inv_lam0)
+    print(f"exact inverse matvec: {t_mv_exact:.3f} ms", flush=True)
+    results["exact inverse matvec (ms)"] = round(t_mv_exact, 4)
+
+    for rank in RANKS:
         fn = jax.jit(
             lambda m, r=rank: batched_randomized_eigh(
                 m, r, jax.random.key(0), power_iters=1
@@ -122,10 +188,8 @@ def main() -> None:
         # quality: lr damped inverse vs exact damped inverse on the qkv block
         lamA, QA = eig["aaT_qkv"]
         lamG, QG = eig["ggT_qkv"]
-        kron_lam = (lamA[:, :, None] * lamG[:, None, :]).reshape(12, -1)
+        kron_lam = (lamA[:, :, None] * lamG[:, None, :]).reshape(L, -1)
         inv_lam = 1.0 / (kron_lam + DAMPING)
-        L, dA = SHAPES["aaT_qkv"]
-        dG = SHAPES["ggT_qkv"][1]
         v = jax.random.normal(jax.random.key(7), (L * dA * dG, 1))
 
         @jax.jit
@@ -147,8 +211,21 @@ def main() -> None:
         print(f"  qkv-block inverse rel err vs exact: {rel:.4f}", flush=True)
         results[f"rank={rank} qkv inverse rel err"] = round(rel, 5)
 
-    out = Path(__file__).parent / "results" / "micro_randomized_inverse.json"
-    out.write_text(json.dumps(results, indent=2))
+        # rank-r inverse matvec cost (same loop-rate methodology; sector
+        # data rides as jit arguments, never closure constants)
+        def lr_apply_norm(m, *data_args):
+            out = lr_apply_stacked(tuple(data_args), m)
+            return out / jnp.linalg.norm(out)
+
+        t_mv = loop_rate_ms(lr_apply_norm, v, *data)
+        print(f"  rank={rank} inverse matvec: {t_mv:.3f} ms", flush=True)
+        results[f"rank={rank} inverse matvec (ms)"] = round(t_mv, 4)
+
+    if "--smoke" not in sys.argv:
+        out = (
+            Path(__file__).parent / "results" / "micro_randomized_inverse.json"
+        )
+        out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results))
 
 

@@ -11,8 +11,12 @@ B. the identical traced() matvec iterated inside ONE ``lax.fori_loop``
    program, marginal rate between loop lengths — isolates "while/fori
    embedding of the matvec" from CG's extra vector ops;
 C. the real CG program at tol=0 (no early exit), marginal rate between
-   maxiter=20 and maxiter=100 — the honest per-iteration cost with every
-   fixed overhead (dispatch, readback, tunnel) cancelled;
+   maxiter=100 and maxiter=1000 — the honest per-iteration cost with every
+   fixed overhead (dispatch, readback, tunnel) cancelled.  (Round 3 used
+   20 vs 100 with a MIN over repeats and banked a negative rate: an early
+   readback return makes a wall undercount, and min() keeps exactly those
+   poisoned samples.  Medians + 10x longer loops put the signal far above
+   the noise; a maxiter=300 point checks wall monotonicity.);
 D. the one-shot CG wall time exactly as ``run_estimators.py`` measured it —
    reproduces the 2.7 s number so the constant part is quantified.
 
@@ -119,13 +123,16 @@ def main() -> None:
         loops[n] = p
 
     def one_shot(callable_, *args) -> float:
-        best = float("inf")
-        for _ in range(3):
+        # MEDIAN of 5, never min: an early readback return undercounts a
+        # wall, and min() keeps exactly the poisoned samples (the round-3
+        # negative-marginal-rate bug in this script's part C).
+        samples = []
+        for _ in range(5):
             t0 = time.perf_counter()
             out = callable_(*args)
             float(jnp.sum(jax.tree.leaves(out)[0]))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            samples.append(time.perf_counter() - t0)
+        return float(sorted(samples)[len(samples) // 2])
 
     tb1 = one_shot(loops[N1], gradc, *consts)
     tb2 = one_shot(loops[N2], gradc, *consts)
@@ -138,8 +145,9 @@ def main() -> None:
         results["B flops vs n*matvec"] = round(f_loop / (N2 * mv_flops), 2)
 
     # ---- C: real CG program, tol=0, marginal over maxiter ------------- #
+    C1, CM, C2 = 100, 300, 1000
     walls = {}
-    for maxiter in (N1, N2):
+    for maxiter in (C1, CM, C2):
         cg = cl.CGInverseLinearOperator(damped, maxiter=maxiter, tol=0.0,
                                         atol=0.0)
         t0 = time.perf_counter()
@@ -148,13 +156,18 @@ def main() -> None:
         print(f"CG({maxiter}) compile+run: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
         walls[maxiter] = one_shot(lambda: cg @ grad)
-    c_ms = (walls[N2] - walls[N1]) / (N2 - N1) * 1e3
-    results[f"C CG tol=0 (ms/iter, {N1} vs {N2})"] = round(c_ms, 3)
-    results["C CG one-shot walls (s)"] = [
-        round(walls[N1], 3), round(walls[N2], 3)
-    ]
-    print(f"C: {c_ms:.3f} ms/iter (walls {walls[N1]:.3f}/{walls[N2]:.3f}s)",
-          file=sys.stderr)
+    c_ms = (walls[C2] - walls[C1]) / (C2 - C1) * 1e3
+    results[f"C CG tol=0 (ms/iter, {C1} vs {C2})"] = round(c_ms, 3)
+    results["C CG one-shot walls (s)"] = {
+        str(m): round(walls[m], 3) for m in (C1, CM, C2)
+    }
+    results["C walls monotone"] = walls[C1] < walls[CM] < walls[C2]
+    print(
+        f"C: {c_ms:.3f} ms/iter (walls "
+        f"{walls[C1]:.3f}/{walls[CM]:.3f}/{walls[C2]:.3f}s, "
+        f"monotone={results['C walls monotone']})",
+        file=sys.stderr,
+    )
 
     # ---- D: reproduce the round-2 one-shot methodology ---------------- #
     cg_r2 = cl.CGInverseLinearOperator(damped, maxiter=100, tol=1e-6)

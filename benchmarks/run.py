@@ -42,6 +42,13 @@ import numpy as np
 
 REPEATS_IN_LOOP = 100
 TIMED_RUNS = 3
+# _timed_loop auto-escalates the loop length (x10, up to the cap) until the
+# marginal WALL difference between the two loop lengths clears this floor —
+# one-shot walls jitter ~1 ms through the tunnel, so an 8 ms difference is
+# the resolution bound; below it the rate is noise (the round-3 mnist table
+# banked 0.0 ms rows exactly this way).
+_RESOLVE_S = 8e-3
+_LOOP_ITERS_MAX = 10_000
 TIMING = "loop"  # set from --timing; "chain" = legacy host-dispatch chains
 RANK = None  # set from --rank; adds randomized rank-r build/matvec rows
 def _device_peak_memory_gib() -> float | None:
@@ -111,6 +118,19 @@ def _compiled_stats(jitted, *args) -> dict:
 _MFU_MIN_MS = 0.1
 
 
+def _fmt_s(ms: float):
+    """Format a loop-timed rate (ms) as seconds without rounding-to-0.0.
+
+    Fixed-decimal rounding banked a literal ``0.0 s`` for the mnist KFAC
+    factor build (a real ~30 µs rate) — 4 significant figures keep any
+    resolved rate nonzero, and a rate the escalated loop could not resolve
+    at all (clamped to 0) banks an explicit sentinel, never 0.0.
+    """
+    if ms <= 0.0:
+        return "below timing floor (loop-unresolved)"
+    return float(f"{ms / 1e3:.4g}")
+
+
 def _attach_stats(results: dict, label: str, ms: float, stats: dict) -> None:
     """Record MFU / FLOPs / peak-temp columns next to a timing row."""
     if not stats:
@@ -162,7 +182,9 @@ def _timed_chain(kernel_apply, init, *args, jit: bool = True) -> tuple[float, ob
     return max(rate, 0.0) * 1e3, out, _compiled_stats(fn, init, *args)
 
 
-def _timed_loop(kernel_apply, init, *args) -> tuple[float, object, dict]:
+def _timed_loop(
+    kernel_apply, init, *args, _iters=None
+) -> tuple[float, object, dict]:
     """Per-application device time via ``lax.fori_loop`` embedding.
 
     `profile_solver_gap.py` measured ~1.5 ms of per-DISPATCH overhead on
@@ -174,10 +196,18 @@ def _timed_loop(kernel_apply, init, *args) -> tuple[float, object, dict]:
     on 40+ ms cells). Iterations stay data-dependent — each consumes the
     previous output — so the runtime cannot pipeline or elide them.
 
+    Sub-100 µs kernels cannot be resolved at the default loop lengths (the
+    wall difference drowns in ~1 ms tunnel jitter): when the measured median
+    difference is below ``_RESOLVE_S``, the loop length escalates x10 (cap
+    ``_LOOP_ITERS_MAX``) and the measurement repeats — tiny kernels compile
+    fast, so the extra loop programs are cheap exactly when escalation
+    happens.
+
     FLOPs/memory stats come from the SINGLE-application program, never the
     loop: ``cost_analysis`` counts a ``while`` body once, not per trip.
     """
-    n1, n2 = max(REPEATS_IN_LOOP // 5, 1), REPEATS_IN_LOOP
+    n_loop = REPEATS_IN_LOOP if _iters is None else _iters
+    n1, n2 = max(n_loop // 5, 1), n_loop
 
     def make(n):
         @jax.jit
@@ -202,10 +232,20 @@ def _timed_loop(kernel_apply, init, *args) -> tuple[float, object, dict]:
     one_shot(run1), one_shot(run2)  # pipeline warmup
     # median, not min — see _timed_chain: early readback returns are
     # negative noise that poisons a min().
-    samples = []
+    samples, diffs = [], []
     for _ in range(TIMED_RUNS):
         t1, t2 = one_shot(run1), one_shot(run2)
         samples.append((t2 - t1) / (n2 - n1))
+        diffs.append(t2 - t1)
+    if float(np.median(diffs)) < _RESOLVE_S and n_loop < _LOOP_ITERS_MAX:
+        nxt = min(n_loop * 10, _LOOP_ITERS_MAX)
+        print(
+            f"loop length {n_loop} under-resolved "
+            f"(median wall diff {float(np.median(diffs))*1e3:.2f} ms); "
+            f"escalating to {nxt}",
+            file=sys.stderr,
+        )
+        return _timed_loop(kernel_apply, init, *args, _iters=nxt)
     rate = float(np.median(samples))
     single = jax.jit(lambda m, *a: kernel_apply(m, *a))
     return max(rate, 0.0) * 1e3, out, _compiled_stats(single, init, *args)
@@ -407,7 +447,7 @@ def bench_kfac(prob, results: dict, kfac_approx: str = "expand") -> None:
         factor_build_step, jnp.float32(0.0), computer.frozen,
         prob.kfac_params, X0, y0, jit=False,
     )
-    results["KFAC factors (s)"] = round(ms / 1e3, 4)
+    results["KFAC factors (s)"] = _fmt_s(ms)
     _attach_stats(results, "KFAC factors", ms, stats)
 
     M = jax.tree.map(
@@ -616,6 +656,13 @@ def main() -> None:
         "dispatch tax, but no extra loop-program compiles)",
     )
     parser.add_argument(
+        "--loop-iters", type=int, default=None,
+        help="starting fori_loop length for --timing loop (default 100; "
+        "auto-escalates x10 when the marginal wall difference is below the "
+        "resolution floor — set it directly to skip the escalation compiles "
+        "on problems known to need long loops, e.g. mnist_mlp)",
+    )
+    parser.add_argument(
         "--profile", metavar="DIR", default=None,
         help="capture a jax.profiler trace of the measured region into DIR "
         "(view with TensorBoard / xprof; SURVEY §5 tracing hook)",
@@ -649,9 +696,11 @@ def main() -> None:
     unknown = [o for o in ops if o not in known_ops]
     if unknown:  # a typo'd op silently skipping would corrupt provenance
         parser.error(f"unknown --ops {unknown}; known: {sorted(known_ops)}")
-    global TIMING, RANK
+    global TIMING, RANK, REPEATS_IN_LOOP
     TIMING = args.timing
     RANK = args.rank
+    if args.loop_iters:
+        REPEATS_IN_LOOP = args.loop_iters
     prob = setup(**setup_kwargs)
 
     print(f"problem={prob.name} device={jax.devices()[0]}", file=sys.stderr)
