@@ -32,6 +32,11 @@ def make_mesh(
     Returns:
         A ``jax.sharding.Mesh``.
     """
+    if n_devices is not None and not isinstance(n_devices, int):
+        raise TypeError(
+            "make_mesh's first argument is n_devices (an int); pass axis "
+            f"names as axis_names=... (got {n_devices!r})"
+        )
     devices = jax.devices()
     n = n_devices or len(devices)
     devices = np.asarray(devices[:n])

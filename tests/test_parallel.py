@@ -24,6 +24,12 @@ def mesh():
     return make_mesh(8)
 
 
+def test_make_mesh_rejects_positional_axis_names():
+    # make_mesh(('data',)) used to crash with an opaque slice TypeError
+    with pytest.raises(TypeError, match="axis_names"):
+        make_mesh(("data",))
+
+
 def test_ggn_matvec_matches_across_mesh(mesh):
     case = make_case("mlp_ce_mean", seed=1)
     # batch must be divisible by the mesh; cases use N=12, batches of 4 -> pad
