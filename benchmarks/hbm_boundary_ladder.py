@@ -1,0 +1,162 @@
+"""Driver for the measured HBM-boundary table (``hbm_boundary.py``).
+
+For each (problem, operator, dtype) cell, probes power-of-two batch sizes —
+doubling while the kernel fits, halving while it OOMs — until the boundary
+is bracketed (largest fitting B and 2B OOM), with each probe in a fresh
+subprocess (a failed device allocation can wedge the tunnel; the ladder
+probes tunnel health between cells and waits it out).  Results merge into
+``results/hbm_boundary.json``; re-running skips banked probes, so the
+ladder is resumable after tunnel outages.
+
+Cells are ordered so the most informative rows land first (GGN everywhere,
+then the build-heavy KFAC/EKFAC columns).
+
+Usage (TPU tunnel up, no other TPU process)::
+
+    python benchmarks/hbm_boundary_ladder.py [--max-probes N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+RESULTS = HERE / "results" / "hbm_boundary.json"
+
+# (problem, op, dtype, seed batch) in priority order.  Seeds start at a
+# known-good batch (the published benchmark size) so the first probe is a
+# cheap "fits".
+CELLS = [
+    ("cifar10_resnet18", "ggn", "float32", 512),
+    ("cifar10_resnet18", "ggn", "bfloat16", 1024),
+    ("imagenet_resnet50", "ggn", "float32", 64),
+    ("imagenet_resnet50", "ggn", "bfloat16", 128),
+    ("shakespeare_nanogpt", "ggn", "float32", 4),
+    ("shakespeare_nanogpt", "ggn", "bfloat16", 8),
+    ("cifar10_vit", "ggn", "float32", 512),
+    ("cifar10_vit", "ggn", "bfloat16", 1024),
+    ("mnist_mlp", "ggn", "float32", 65536),
+    ("mnist_mlp", "ggn", "bfloat16", 131072),
+    ("cifar10_resnet18", "kfac", "float32", 512),
+    ("imagenet_resnet50", "kfac", "float32", 64),
+    ("shakespeare_nanogpt", "kfac", "float32", 4),
+    ("cifar10_vit", "kfac", "float32", 512),
+    ("mnist_mlp", "kfac", "float32", 65536),
+    ("cifar10_resnet18", "ekfac", "float32", 512),
+    ("imagenet_resnet50", "ekfac", "float32", 64),
+    ("shakespeare_nanogpt", "ekfac", "float32", 4),
+    ("cifar10_vit", "ekfac", "float32", 512),
+    ("mnist_mlp", "ekfac", "float32", 65536),
+]
+
+MAX_BATCH = 1 << 21  # ladder safety stop: beyond this, "boundary > 2M"
+
+
+def banked() -> dict:
+    return json.loads(RESULTS.read_text()) if RESULTS.exists() else {}
+
+
+def cell_probes(data: dict, problem: str, op: str, dtype: str) -> dict[int, bool]:
+    prefix = f"{problem}/{op}/{dtype}/B="
+    return {
+        int(k[len(prefix):]): v["fits"]
+        for k, v in data.items()
+        if k.startswith(prefix)
+    }
+
+
+def next_batch(probes: dict[int, bool], seed: int) -> int | None:
+    """Next power-of-two batch to probe, or None when bracketed."""
+    fits = [b for b, ok in probes.items() if ok]
+    ooms = [b for b, ok in probes.items() if not ok]
+    if not probes:
+        return seed
+    hi = max(fits) if fits else None
+    lo = min(ooms) if ooms else None
+    if hi is not None and lo is not None:
+        if lo <= 2 * hi:
+            return None  # bracketed
+        # gap wider than 2x (mixed seeds): bisect geometrically on pow2
+        mid = 1 << ((hi.bit_length() + (lo - 1).bit_length()) // 2)
+        return mid if hi < mid < lo else None
+    if hi is not None:  # everything fits so far
+        return None if 2 * hi > MAX_BATCH else 2 * hi
+    # everything OOMs so far
+    return None if lo <= 1 else lo // 2
+
+
+def tunnel_up(max_tries: int = 40) -> bool:
+    for i in range(max_tries):
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax,jax.numpy as jnp;"
+             "print(float((jnp.ones((128,128))@jnp.ones((128,128))).sum()))"],
+            capture_output=True, timeout=300, text=True,
+        )
+        if r.returncode == 0 and "2097152" in r.stdout:
+            return True
+        print(f"tunnel probe {i+1} failed; waiting 60s", flush=True)
+        time.sleep(60)
+    return False
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-probes", type=int, default=100)
+    ap.add_argument("--probe-timeout", type=int, default=2400)
+    args = ap.parse_args()
+
+    spent = 0
+    for problem, op, dtype, seed in CELLS:
+        while spent < args.max_probes:
+            probes = cell_probes(banked(), problem, op, dtype)
+            b = next_batch(probes, seed)
+            if b is None:
+                print(f"[done] {problem}/{op}/{dtype}: {probes}", flush=True)
+                break
+            if not tunnel_up():
+                print("tunnel never came back; stopping ladder", flush=True)
+                return
+            print(f"[probe] {problem}/{op}/{dtype} B={b}", flush=True)
+            t0 = time.time()
+            r = subprocess.run(
+                [sys.executable, str(HERE / "hbm_boundary.py"),
+                 "--problem", problem, "--op", op,
+                 "--dtype", dtype, "--batch", str(b)],
+                timeout=args.probe_timeout + 120, capture_output=True,
+                text=True,
+            )
+            spent += 1
+            print(r.stdout[-800:], flush=True)
+            if r.returncode != 0:
+                key = f"{problem}/{op}/{dtype}/B={b}"
+                if key in banked():
+                    continue  # verdict was banked before the crash
+                print(f"[error] rc={r.returncode} after {time.time()-t0:.0f}s:"
+                      f" {r.stderr[-1500:]}", flush=True)
+                # non-OOM failure (tunnel death mid-run, etc.) — one retry
+                # after a tunnel health check, then give up on this cell
+                if not tunnel_up():
+                    return
+                r2 = subprocess.run(
+                    [sys.executable, str(HERE / "hbm_boundary.py"),
+                     "--problem", problem, "--op", op,
+                     "--dtype", dtype, "--batch", str(b)],
+                    timeout=args.probe_timeout + 120, capture_output=True,
+                    text=True,
+                )
+                spent += 1
+                if r2.returncode != 0 and f"{problem}/{op}/{dtype}/B={b}" not in banked():
+                    print(f"[skip cell] {problem}/{op}/{dtype}: "
+                          f"{r2.stderr[-800:]}", flush=True)
+                    break
+    print("ladder complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()
