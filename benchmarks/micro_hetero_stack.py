@@ -12,9 +12,12 @@ matching slots leaves the real region equal to ``A X Gᵀ`` and the padded
 region zero.
 
 The padded stack does ~5× the real FLOPs here (26 vs 4.8 GFLOP) — the bet
-is that on small chains overhead dominates FLOPs by far more than 5×. This
-benchmark measures that bet on the real device before `kfac/chain.py`
-adopts the fast path.
+was that on small chains overhead dominates FLOPs by far more than 5×.
+VERDICT (round 4): the loop-timed A/B REFUTES the bet — per-block 0.033 ms
+vs padded 0.150 ms — because inside one jitted program there is no per-op
+dispatch overhead to amortize (the motivating 0.76 ms number was tunnel
+dispatch). The padded path was removed from `kfac/chain.py`; this script
+stays as the decision's evidence.
 
 Usage::
 

@@ -120,119 +120,15 @@ def _stacked_kron_matmat_T(factors: list[jax.Array], M: jax.Array) -> jax.Array:
     return stacked_kron_matmat([jnp.swapaxes(S, -1, -2) for S in factors], M)
 
 
-# ---- zero-padded batched apply for chains of many small blocks --------- #
-#
-# Chains of many small layers (the mnist MLP: six dense blocks, largest
-# factor 1025) spend their matvec in per-op overhead, not FLOPs — the
-# per-block apply is ~2 tiny dots per block plus converters (measured
-# 0.76 ms on the v5e for ~5 GFLOP of real work). Zero-padding every
-# block's square factors to the group-wide max and stacking them turns the
-# whole block-diagonal apply into TWO batched dot_generals ("kron"; four
-# plus a rescale for "eigh"). Padding is exact: embedding the factor and
-# the operand in the top-left corner of zero matrices leaves the real
-# region equal to ``A X Gᵀ`` and the padded region zero. Padding waste is
-# cubic in the size spread, so the plan is gated by total padded FLOPs —
-# big-spread chains (ResNet convs: 65..4609) keep the per-block form.
-# A/B: ``benchmarks/micro_hetero_stack.py``.
-_PAD_STACK_MIN_BLOCKS = 4
-_PAD_STACK_FLOP_LIMIT = 32e9  # per matvec column; ~0.3 ms of MXU time
-
-
-def _pad_stack_plan(blocks_data: dict) -> dict:
-    """Group eligible 2-factor square blocks per kind for the padded apply.
-
-    Returns ``{kind: (gis, Am, Gm)}`` for kinds in {"kron", "eigh"} whose
-    groups clear the block-count and padded-FLOP gates.
-    """
-    plans = {}
-    for kind_sel in ("kron", "eigh"):
-        group = []
-        for gi in sorted(blocks_data):
-            kind, data = blocks_data[gi]
-            if kind != kind_sel:
-                continue
-            factors = data if kind == "kron" else data[1]
-            if len(factors) != 2:
-                continue
-            A, G = factors
-            if A.ndim != 2 or G.ndim != 2:
-                continue
-            if A.shape[0] != A.shape[1] or G.shape[0] != G.shape[1]:
-                continue
-            group.append(gi)
-        if len(group) < _PAD_STACK_MIN_BLOCKS:
-            continue
-        dims = {}
-        for gi in group:
-            kind, data = blocks_data[gi]
-            factors = data if kind == "kron" else data[1]
-            dims[gi] = (factors[0].shape[0], factors[1].shape[0])
-        Am = max(a for a, _ in dims.values())
-        Gm = max(g for _, g in dims.values())
-        flops = len(group) * 2 * (Am * Am * Gm + Am * Gm * Gm)
-        if kind_sel == "eigh":
-            flops *= 2
-        if flops > _PAD_STACK_FLOP_LIMIT:
-            continue
-        plans[kind_sel] = (tuple(group), Am, Gm)
-    return plans
-
-
-def _build_pad_stacks(blocks_data: dict, plans: dict) -> dict:
-    """Materialize the zero-padded factor stacks once (jit ARGUMENTS)."""
-    stacks = {}
-    for kind_sel, (gis, Am, Gm) in plans.items():
-        As, Gs, lams = [], [], []
-        for gi in gis:
-            kind, data = blocks_data[gi]
-            factors = data if kind == "kron" else data[1]
-            A, G = factors
-            a, g = A.shape[0], G.shape[0]
-            As.append(jnp.pad(A, ((0, Am - a), (0, Am - a))))
-            Gs.append(jnp.pad(G, ((0, Gm - g), (0, Gm - g))))
-            if kind == "eigh":
-                lam = data[0].reshape(a, g)
-                lams.append(jnp.pad(lam, ((0, Am - a), (0, Gm - g))))
-        entry = [jnp.stack(As), jnp.stack(Gs)]
-        if kind_sel == "eigh":
-            entry.append(jnp.stack(lams))
-        stacks[kind_sel] = tuple(entry)
-    return stacks
-
-
-def _pad_stack_apply(kind_sel, stack, comps, dims, Am, Gm):
-    """Apply one padded group; ``comps[i]`` is ``[a_i*g_i, K]``.
-
-    Contraction layout mirrors :func:`kron_matmat`'s K-leading order: each
-    batched dot contracts the leading grid axis and cycles the output
-    dimension to the back, so the two (or four) dots need no relayout.
-    """
-    Xs = []
-    for comp, (a, g) in zip(comps, dims):
-        K = comp.shape[-1]
-        x = jnp.moveaxis(comp.reshape(a, g, K), -1, 0)  # [K, a, g]
-        Xs.append(jnp.pad(x, ((0, 0), (0, Am - a), (0, Gm - g))))
-    X = jnp.stack(Xs)  # [L, K, Am, Gm]
-    batch = ((0,), (0,))
-    if kind_sel == "kron":
-        As, Gs = stack
-        # out[l,K,g,m] = sum_a A[l,m,a] X[l,K,a,g]
-        X = jax.lax.dot_general(X, As, (((2,), (2,)), batch))
-        X = jax.lax.dot_general(X, Gs, (((2,), (2,)), batch))
-    else:
-        Qa, Qg, lam = stack
-        # Qᵀ-transform: contract the grid axis with Q's ROW dim
-        X = jax.lax.dot_general(X, Qa, (((2,), (1,)), batch))
-        X = jax.lax.dot_general(X, Qg, (((2,), (1,)), batch))
-        X = X * lam[:, None, :, :]
-        # Q-transform back: contract with Q's COLUMN dim
-        X = jax.lax.dot_general(X, Qa, (((2,), (2,)), batch))
-        X = jax.lax.dot_general(X, Qg, (((2,), (2,)), batch))
-    out = []
-    for i, (a, g) in enumerate(dims):
-        o = jnp.moveaxis(X[i, :, :a, :g], 0, -1)  # [a, g, K]
-        out.append(o.reshape(a * g, -1))
-    return out
+# NOTE a zero-padded batched apply for chains of many small blocks (pad
+# every square factor to the group max, collapse the block-diagonal apply
+# into 2-4 batched dot_generals) was tried in round 3 and REMOVED in round
+# 4: the valid loop-timed A/B (``benchmarks/micro_hetero_stack.py``,
+# ``results/micro_hetero_stack.json``) measures the per-block apply at
+# 0.033 ms vs 0.150 ms padded on the mnist-MLP chain — inside one jitted
+# program there is no per-op dispatch overhead to amortize (the motivating
+# 0.76 ms "per-block" number was tunnel dispatch, not compute), so the
+# padding's ~5x extra FLOPs are a pure loss at any chain size.
 
 
 def _batched_damped_cholesky_inverse(
@@ -406,45 +302,19 @@ class KroneckerChainOperator(ChainLinearOperator):
         self._to_canonical = to_canonical
         self._from_canonical = from_canonical
         self._jit_apply = None
-        self._pad_stacks = None  # built with the jit apply on first _matmat
 
     def _matmat(self, M: Any) -> Any:
         if self._jit_apply is None:
             to_c, from_c = self._to_canonical, self._from_canonical
             kinds = {gi: kind for gi, (kind, _) in self._blocks_data.items()}
-            plans = _pad_stack_plan(self._blocks_data)
-            self._pad_stacks = _build_pad_stacks(self._blocks_data, plans)
-            planned_gis = {gi for gis, _, _ in plans.values() for gi in gis}
-            dims_of = {}
-            for kind_sel, (gis, _, _) in plans.items():
-                for gi in gis:
-                    _, data = self._blocks_data[gi]
-                    factors = data if kind_sel == "kron" else data[1]
-                    dims_of[gi] = (factors[0].shape[0], factors[1].shape[0])
 
             @jax.jit
-            def apply(block_arrays: dict, stacks: dict, M: Any) -> Any:
+            def apply(block_arrays: dict, M: Any) -> Any:
                 cols = jax.vmap(to_c, in_axes=-1, out_axes=-1)(M)
-                order = sorted(kinds)
-                bi_of = {gi: bi for bi, gi in enumerate(order)}
-                slot = [None] * len(order)
-                for kind_sel, (gis, Am, Gm) in plans.items():
-                    group_out = _pad_stack_apply(
-                        kind_sel,
-                        stacks[kind_sel],
-                        [cols[bi_of[gi]] for gi in gis],
-                        [dims_of[gi] for gi in gis],
-                        Am,
-                        Gm,
-                    )
-                    for gi, o in zip(gis, group_out):
-                        slot[bi_of[gi]] = o
                 out = []
                 for bi, gi in enumerate(sorted(kinds)):
                     comp = cols[bi]  # [block_size, K]
-                    if gi in planned_gis:
-                        out.append(slot[bi])
-                    elif kinds[gi] == "kron":
+                    if kinds[gi] == "kron":
                         out.append(kron_matmat(block_arrays[gi], comp))
                     elif kinds[gi] == "skron":
                         out.append(stacked_kron_matmat(block_arrays[gi], comp))
@@ -485,4 +355,4 @@ class KroneckerChainOperator(ChainLinearOperator):
 
             self._jit_apply = apply
         arrays = {gi: data for gi, (_, data) in self._blocks_data.items()}
-        return self._jit_apply(arrays, self._pad_stacks, M)
+        return self._jit_apply(arrays, M)
