@@ -48,6 +48,8 @@ def _cell(data: dict, row: str) -> str:
     ms = data.get(key_ms)
     if ms is None:
         return "—"
+    if isinstance(ms, str):  # "below timing floor (loop-unresolved)" sentinel
+        return ms
     if row == "KFAC factors":
         ms = ms * 1e3
     flops = data.get(f"{row} flops (G)")
@@ -66,7 +68,71 @@ def _cell(data: dict, row: str) -> str:
     return " / ".join(parts)
 
 
+# Reference (f-dangel/curvlinops) COMPILED timings on the RTX A6000, ms —
+# transcribed from BASELINE.md (which transcribes the reference's published
+# benchmark JSONs).  Column order matches PROBLEMS.
+_REF_MATVEC_MS = {
+    "gradient+loss": (1.70, 10.02, 90.8, 204.7),
+    "Hessian matvec": (1.79, 22.5, 252.6, 593.5),
+    "GGN matvec": (1.46, 16.0, 197.1, 433.3),
+    "MC-Fisher matvec": (3.64, 20.9, 216.2, 493.6),
+    "Empirical Fisher matvec": (1.72, 16.8, 196.4, 464.4),
+    "KFAC matvec": (0.54, 4.74, 9.04, 37.1),  # fx backend (faster of the two)
+    "KFAC inverse matvec": (0.54, 4.65, 8.59, 31.6),
+    "EKFAC matvec": (0.91, 9.54, 17.0, 65.7),
+}
+# Reference compiled precompute, ms: KFAC factors (fx); EKFAC build =
+# factors + eigh-of-factors + eigenvalue correction (hooks compiled).
+_REF_PRECOMPUTE_MS = {
+    "KFAC factors": (2.46, 22.7, 222.9, 283.8),
+    "EKFAC build": (69.4, 1300.9, 2517.2, 4317.1),
+}
+
+
+def _speed_cell(ours, ref_ms: float, unit_s: bool = False) -> str:
+    if ours is None:
+        return "—"
+    if isinstance(ours, str):  # below-floor sentinel
+        return ours
+    ours_ms = ours * 1e3 if unit_s else ours
+    if ours_ms <= 0:
+        return "below timing floor"
+    val = f"{ours:.4g}" if unit_s else f"{ours:.3g}"
+    return f"{val} ({ref_ms / ours_ms:.1f}×)"
+
+
+def speedup_tables() -> None:
+    """The RESULTS.md matvec + precompute tables, regenerated from JSONs."""
+    datas = [(short, _load(name, "float32")) for name, short in PROBLEMS]
+    names = [s for s, _ in datas]
+    print("\n### Matrix-vector products (ms; speedup vs compiled reference)\n")
+    print("| operator | " + " | ".join(names) + " |")
+    print("|" + "---|" * (len(names) + 1))
+    for row, refs in _REF_MATVEC_MS.items():
+        cells = [
+            _speed_cell(d.get(f"{row} (ms)"), r)
+            for (_, d), r in zip(datas, refs)
+        ]
+        print(f"| {row} | " + " | ".join(cells) + " |")
+    print("\n### Precompute phases (s; speedup vs compiled reference)\n")
+    print("| phase | " + " | ".join(names) + " |")
+    print("|" + "---|" * (len(names) + 1))
+    for row, refs in _REF_PRECOMPUTE_MS.items():
+        cells = [
+            _speed_cell(d.get(f"{row} (s)"), r, unit_s=True)
+            for (_, d), r in zip(datas, refs)
+        ]
+        print(f"| {row} | " + " | ".join(cells) + " |")
+    row = "KFAC exact-damped inverse build"
+    cells = []
+    for _, d in datas:
+        v = d.get(f"{row} (s)")
+        cells.append("—" if v is None else (v if isinstance(v, str) else f"{v:.4g}"))
+    print(f"| {row} (no ref counterpart) | " + " | ".join(cells) + " |")
+
+
 def main() -> None:
+    speedup_tables()
     for dtype in ("float32", "bfloat16"):
         print(f"\n### {dtype} — ms / FLOPs / MFU / peak reserved (args+temp)\n")
         datas = [(short, _load(name, dtype)) for name, short in PROBLEMS]

@@ -1,9 +1,11 @@
 """Render the headline speedup chart (one TPU v5e chip vs compiled reference).
 
-Reads the measured numbers from RESULTS.md's source JSONs (hard-coded here
-with their provenance) and writes ``benchmarks/speedups.png``, referenced by
-the README. Single-series horizontal bars: magnitude only, one hue, value
-labels at the bar ends, reference baseline at 1x.
+Reads the measured numbers from the banked per-problem result JSONs (the
+same source ``make_stats_table.py`` renders RESULTS.md's tables from; the
+reference baselines live in ``make_stats_table._REF_MATVEC_MS``) and writes
+``benchmarks/speedups.png``, referenced by the README. Single-series
+horizontal bars: magnitude only, one hue, value labels at the bar ends,
+reference baseline at 1x.
 
 Run: ``python benchmarks/plot_speedups.py``
 """
@@ -11,25 +13,50 @@ Run: ``python benchmarks/plot_speedups.py``
 from __future__ import annotations
 
 import pathlib
+import sys
 
 import matplotlib.pyplot as plt
 
-# (label, reference ms [RTX A6000, torch.compile, BASELINE.md],
-#  ours ms [1x TPU v5e, float32, benchmarks/results/*.json])
-ROWS = [
-    ("Hessian matvec · MNIST MLP", 1.79, 0.12),
-    ("Empirical Fisher matvec · ResNet-18", 16.8, 1.59),
-    ("GGN matvec · ResNet-18", 16.0, 1.58),
-    ("MC-Fisher matvec · ResNet-18", 20.9, 2.30),
-    ("EKFAC matvec · nanoGPT 124M", 65.7, 8.57),
-    ("KFAC matvec · nanoGPT 124M", 36.0, 5.13),
-    ("EKFAC matvec · ResNet-50", 17.0, 2.52),
-    ("GGN matvec · nanoGPT 124M", 433.0, 104.9),
-    ("Empirical Fisher matvec · nanoGPT 124M", 464.0, 127.1),
-    ("Hessian matvec · nanoGPT 124M", 593.0, 168.8),
-    ("GGN matvec · ResNet-50", 197.0, 63.8),
-    ("Hessian matvec · ResNet-50", 253.0, 113.0),
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from make_stats_table import _REF_MATVEC_MS, _load  # noqa: E402
+
+_PRETTY = {
+    "synthetic_mnist_mlp": "MNIST MLP",
+    "synthetic_cifar10_resnet18": "ResNet-18",
+    "synthetic_imagenet_resnet50": "ResNet-50",
+    "synthetic_shakespeare_nanogpt": "nanoGPT 124M",
+}
+_PICK = [  # (row key, problem index into _REF_MATVEC_MS column order)
+    ("Hessian matvec", 0),
+    ("Empirical Fisher matvec", 1),
+    ("GGN matvec", 1),
+    ("MC-Fisher matvec", 1),
+    ("EKFAC matvec", 3),
+    ("KFAC matvec", 3),
+    ("EKFAC matvec", 2),
+    ("GGN matvec", 3),
+    ("Empirical Fisher matvec", 3),
+    ("Hessian matvec", 3),
+    ("GGN matvec", 2),
+    ("Hessian matvec", 2),
 ]
+_NAMES = list(_PRETTY)
+
+
+def _rows() -> list[tuple[str, float, float]]:
+    datas = {name: _load(name, "float32") for name in _NAMES}
+    rows = []
+    for key, pi in _PICK:
+        name = _NAMES[pi]
+        ours = datas[name].get(f"{key} (ms)")
+        if not isinstance(ours, (int, float)) or ours <= 0:
+            continue
+        ref = _REF_MATVEC_MS[key][pi]
+        rows.append((f"{key} · {_PRETTY[name]}", ref, ours))
+    return rows
+
+
+ROWS = _rows()
 
 SURFACE = "#fcfcfb"
 INK = "#0b0b0b"
