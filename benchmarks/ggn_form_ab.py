@@ -72,30 +72,17 @@ def make_linearized(model_fn, loss_fn):
 
 
 def loop_rate_ms(kern, v, params, X, y) -> float:
-    def make(n):
-        @jax.jit
-        def run(m, p, XX, yy):
-            return jax.lax.fori_loop(
-                0, n, lambda _, mm: kern(p, XX, yy, mm), m
-            )
+    # ONE loop-timing harness repo-wide: run.py::_timed_loop (median over
+    # repeats, resolution-floor escalation, non-negative clamp). A local
+    # re-implementation here once lacked the clamp — the poisoned-sample
+    # class this round eliminated.
+    import run as _run
 
-        return run
-
-    run1, run2 = make(N1), make(N2)
-    t0 = time.perf_counter()
-    jax.block_until_ready(run1(v, params, X, y))
-    jax.block_until_ready(run2(v, params, X, y))
-    print(f"  compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
-
-    def shot(r):
-        t0 = time.perf_counter()
-        o = r(v, params, X, y)
-        float(jnp.sum(jax.tree.leaves(o)[0].astype(jnp.float32)))
-        return time.perf_counter() - t0
-
-    shot(run1), shot(run2)
-    samples = [(shot(run2) - shot(run1)) / (N2 - N1) for _ in range(3)]
-    return float(np.median(samples)) * 1e3
+    _run.REPEATS_IN_LOOP = N2
+    ms, _, _ = _run._timed_loop(
+        lambda mm, p, XX, yy: kern(p, XX, yy, mm), v, params, X, y
+    )
+    return ms
 
 
 def main() -> None:

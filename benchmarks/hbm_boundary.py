@@ -100,8 +100,15 @@ def main() -> None:
         print(f"FITS ({entry['wall_s']}s, finite={ok})", flush=True)
     except Exception as e:  # noqa: BLE001 — the verdict IS the exception
         msg = str(e)
-        is_oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or (
-            "exceeds the" in msg and "memory" in msg
+        low = msg.lower()
+        # TPU compile-time reservation failures say "Ran out of memory in
+        # memory space hbm. Used X of Y"; runtime allocs say
+        # RESOURCE_EXHAUSTED; match case-insensitively on all known forms.
+        is_oom = (
+            "resource_exhausted" in low
+            or "out of memory" in low
+            or "allocation type: hlo temp" in low  # the OOM ledger itself
+            or ("exceeds the" in low and "memory" in low)
         )
         if not is_oom:
             raise

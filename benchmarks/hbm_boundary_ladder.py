@@ -96,17 +96,39 @@ def next_batch(probes: dict[int, bool], seed: int) -> int | None:
 
 def tunnel_up(max_tries: int = 40) -> bool:
     for i in range(max_tries):
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax,jax.numpy as jnp;"
-             "print(float((jnp.ones((128,128))@jnp.ones((128,128))).sum()))"],
-            capture_output=True, timeout=300, text=True,
-        )
-        if r.returncode == 0 and "2097152" in r.stdout:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax,jax.numpy as jnp;"
+                 "print(float((jnp.ones((128,128))@jnp.ones((128,128))).sum()))"],
+                capture_output=True, timeout=300, text=True,
+            )
+            ok = r.returncode == 0 and "2097152" in r.stdout
+        except subprocess.TimeoutExpired:
+            # a wedged tunnel hangs the child past its timeout — the exact
+            # condition this function probes; never let it crash the ladder
+            ok = False
+        if ok:
             return True
         print(f"tunnel probe {i+1} failed; waiting 60s", flush=True)
         time.sleep(60)
     return False
+
+
+def run_probe(problem: str, op: str, dtype: str, b: int, timeout_s: int):
+    """One hbm_boundary.py subprocess; None return means it timed out."""
+    try:
+        return subprocess.run(
+            [sys.executable, str(HERE / "hbm_boundary.py"),
+             "--problem", problem, "--op", op,
+             "--dtype", dtype, "--batch", str(b)],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"[timeout] {problem}/{op}/{dtype} B={b} after {timeout_s}s "
+              "(child killed; tunnel may wedge for a minute)", flush=True)
+        time.sleep(120)
+        return None
 
 
 def main() -> None:
@@ -128,36 +150,32 @@ def main() -> None:
                 return
             print(f"[probe] {problem}/{op}/{dtype} B={b}", flush=True)
             t0 = time.time()
-            r = subprocess.run(
-                [sys.executable, str(HERE / "hbm_boundary.py"),
-                 "--problem", problem, "--op", op,
-                 "--dtype", dtype, "--batch", str(b)],
-                timeout=args.probe_timeout + 120, capture_output=True,
-                text=True,
-            )
+            r = run_probe(problem, op, dtype, b, args.probe_timeout + 120)
             spent += 1
-            print(r.stdout[-800:], flush=True)
-            if r.returncode != 0:
+            if r is not None:
+                print(r.stdout[-800:], flush=True)
+            if r is None or r.returncode != 0:
                 key = f"{problem}/{op}/{dtype}/B={b}"
                 if key in banked():
                     continue  # verdict was banked before the crash
-                print(f"[error] rc={r.returncode} after {time.time()-t0:.0f}s:"
-                      f" {r.stderr[-1500:]}", flush=True)
-                # non-OOM failure (tunnel death mid-run, etc.) — one retry
-                # after a tunnel health check, then give up on this cell
+                if r is not None:
+                    print(
+                        f"[error] rc={r.returncode} after "
+                        f"{time.time()-t0:.0f}s: {r.stderr[-1500:]}",
+                        flush=True,
+                    )
+                # non-OOM failure (tunnel death mid-run, timeout, etc.) —
+                # one retry after a tunnel health check, then give up on
+                # this cell (never on the whole ladder)
                 if not tunnel_up():
                     return
-                r2 = subprocess.run(
-                    [sys.executable, str(HERE / "hbm_boundary.py"),
-                     "--problem", problem, "--op", op,
-                     "--dtype", dtype, "--batch", str(b)],
-                    timeout=args.probe_timeout + 120, capture_output=True,
-                    text=True,
-                )
+                r2 = run_probe(problem, op, dtype, b, args.probe_timeout + 120)
                 spent += 1
-                if r2.returncode != 0 and f"{problem}/{op}/{dtype}/B={b}" not in banked():
-                    print(f"[skip cell] {problem}/{op}/{dtype}: "
-                          f"{r2.stderr[-800:]}", flush=True)
+                failed = r2 is None or r2.returncode != 0
+                if failed and f"{problem}/{op}/{dtype}/B={b}" not in banked():
+                    tail = r2.stderr[-800:] if r2 is not None else "(timeout)"
+                    print(f"[skip cell] {problem}/{op}/{dtype}: {tail}",
+                          flush=True)
                     break
     print("ladder complete", flush=True)
 

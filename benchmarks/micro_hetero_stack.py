@@ -118,8 +118,8 @@ def main() -> None:
     def kern_stack(comps, As, Gs):
         return stacked_apply(As, Gs, comps)
 
-    ms_per, _, _ = _timed_loop(kern_per, comps0, *flat_blocks)
-    ms_stack, _, _ = _timed_loop(kern_stack, comps0, As, Gs)
+    ms_per, _, stats_per = _timed_loop(kern_per, comps0, *flat_blocks)
+    ms_stack, _, stats_stack = _timed_loop(kern_stack, comps0, As, Gs)
 
     # a non-positive marginal rate means the barrier could not resolve the
     # kernel at these loop lengths — bank the fact, never a 0.0 "time"
@@ -127,7 +127,12 @@ def main() -> None:
     results = {
         "device": str(jax.devices()[0]),
         "shapes": SHAPES,
-        "loop_iters": _run.REPEATS_IN_LOOP,
+        # the loop length the harness actually measured at (escalation may
+        # raise it past REPEATS_IN_LOOP; wrong provenance otherwise)
+        "loop_iters": {
+            "per-block": stats_per.get("loop_iters_used"),
+            "padded": stats_stack.get("loop_iters_used"),
+        },
         "per-block apply (ms)": (
             round(ms_per, 4) if ms_per > FLOOR else "below timing floor"
         ),

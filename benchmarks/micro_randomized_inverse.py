@@ -94,40 +94,18 @@ def one_shot(fn, *args):
     return time.perf_counter() - t0, out
 
 
-def loop_rate_ms(kernel, v, *consts, n1=4, n2=20, reps=3):
-    """Per-application ms via ``fori_loop``-embedded marginal rate.
-
-    Same methodology as ``run.py::_timed_loop``: iterations are
-    data-dependent, dispatch is paid once per program, and the reported
-    number is the median marginal rate between two loop lengths — robust to
-    this runtime's early readback returns.  Large operator state (bases,
-    spectra) must come in via ``*consts`` — closure-captured arrays become
-    HLO constants and the remote compile service rejects >~100 MB request
-    bodies (HTTP 413).
+def loop_rate_ms(kernel, v, *consts, n2=20):
+    """Per-application ms via ``run.py::_timed_loop`` — ONE loop-timing
+    harness repo-wide (median over repeats, resolution-floor escalation,
+    non-negative clamp).  Large operator state (bases, spectra) must come
+    in via ``*consts`` — closure-captured arrays become HLO constants and
+    the remote compile service rejects >~100 MB request bodies (HTTP 413).
     """
+    import run as _run
 
-    def make(n):
-        @jax.jit
-        def run(m, *cs):
-            return jax.lax.fori_loop(0, n, lambda _, mm: kernel(mm, *cs), m)
-
-        return run
-
-    run1, run2 = make(n1), make(n2)
-    jax.block_until_ready(run1(v, *consts))
-    jax.block_until_ready(run2(v, *consts))
-
-    def shot(runner):
-        t0 = time.perf_counter()
-        o = runner(v, *consts)
-        float(jnp.sum(jax.tree.leaves(o)[0]))
-        return time.perf_counter() - t0
-
-    shot(run1), shot(run2)
-    samples = [
-        (shot(run2) - shot(run1)) / (n2 - n1) for _ in range(reps)
-    ]
-    return max(float(np.median(samples)), 0.0) * 1e3
+    _run.REPEATS_IN_LOOP = n2
+    ms, _, _ = _run._timed_loop(kernel, v, *consts)
+    return ms
 
 
 def main() -> None:

@@ -50,6 +50,9 @@ def _rows() -> list[tuple[str, float, float]]:
         name = _NAMES[pi]
         ours = datas[name].get(f"{key} (ms)")
         if not isinstance(ours, (int, float)) or ours <= 0:
+            # never drop a bar silently — the README text enumerates rows
+            print(f"WARNING: dropping bar '{key} · {_PRETTY[name]}' "
+                  f"(banked value: {ours!r})")
             continue
         ref = _REF_MATVEC_MS[key][pi]
         rows.append((f"{key} · {_PRETTY[name]}", ref, ours))

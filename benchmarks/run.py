@@ -248,7 +248,11 @@ def _timed_loop(
         return _timed_loop(kernel_apply, init, *args, _iters=nxt)
     rate = float(np.median(samples))
     single = jax.jit(lambda m, *a: kernel_apply(m, *a))
-    return max(rate, 0.0) * 1e3, out, _compiled_stats(single, init, *args)
+    stats = _compiled_stats(single, init, *args)
+    # provenance: the loop length actually MEASURED (escalation may have
+    # raised it past the caller's REPEATS_IN_LOOP)
+    stats["loop_iters_used"] = n_loop
+    return max(rate, 0.0) * 1e3, out, stats
 
 
 def _timed(kernel_apply, init, *args, jit: bool = True):
@@ -699,7 +703,12 @@ def main() -> None:
     global TIMING, RANK, REPEATS_IN_LOOP
     TIMING = args.timing
     RANK = args.rank
-    if args.loop_iters:
+    if args.loop_iters is not None:
+        # validate BEFORE device touch; a negative value would recurse the
+        # escalation in _timed_loop forever (fori_loop(0, n<=0) runs 0
+        # iterations, so the marginal diff never clears the floor)
+        if args.loop_iters < 5:
+            parser.error("--loop-iters must be >= 5")
         REPEATS_IN_LOOP = args.loop_iters
     prob = setup(**setup_kwargs)
 

@@ -10,6 +10,7 @@ KFAC covariance einsums). Multi-host runs ride the same collectives over DCN.
 
 from __future__ import annotations
 
+import operator
 from typing import Any, Sequence
 
 import jax
@@ -32,11 +33,14 @@ def make_mesh(
     Returns:
         A ``jax.sharding.Mesh``.
     """
-    if n_devices is not None and not isinstance(n_devices, int):
-        raise TypeError(
-            "make_mesh's first argument is n_devices (an int); pass axis "
-            f"names as axis_names=... (got {n_devices!r})"
-        )
+    if n_devices is not None:
+        try:  # accept anything int-like (numpy integers, 0-d arrays)
+            n_devices = operator.index(n_devices)
+        except TypeError:
+            raise TypeError(
+                "make_mesh's first argument is n_devices (an int); pass "
+                f"axis names as axis_names=... (got {n_devices!r})"
+            ) from None
     devices = jax.devices()
     n = n_devices or len(devices)
     devices = np.asarray(devices[:n])

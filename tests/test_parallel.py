@@ -30,6 +30,14 @@ def test_make_mesh_rejects_positional_axis_names():
         make_mesh(("data",))
 
 
+def test_make_mesh_accepts_numpy_int():
+    # n computed from numpy shapes/sizes must keep working (operator.index)
+    import numpy as np
+
+    mesh = make_mesh(np.int64(4))
+    assert mesh.devices.size == 4
+
+
 def test_ggn_matvec_matches_across_mesh(mesh):
     case = make_case("mlp_ce_mean", seed=1)
     # batch must be divisible by the mesh; cases use N=12, batches of 4 -> pad
