@@ -104,18 +104,31 @@ def main() -> None:
         # TPU compile-time reservation failures say "Ran out of memory in
         # memory space hbm. Used X of Y"; runtime allocs say
         # RESOURCE_EXHAUSTED; match case-insensitively on all known forms.
-        is_oom = (
-            "resource_exhausted" in low
-            or "out of memory" in low
-            or "allocation type: hlo temp" in low  # the OOM ledger itself
-            or ("exceeds the" in low and "memory" in low)
-        )
-        if not is_oom:
+        markers = [
+            "resource_exhausted",
+            "out of memory",
+            "allocation type: hlo temp",  # the OOM ledger itself
+        ]
+        matched = next((m for m in markers if m in low), None)
+        if matched is None and "exceeds the" in low and "memory" in low:
+            matched = "exceeds the ... memory"
+        if matched is None:
             raise
-        # keep the informative head of XLA's OOM ledger
+        # bank the lines AROUND the matched marker (the head of a remote
+        # compile failure is axon service noise; the OOM ledger sits deeper)
+        lines = msg.splitlines()
+        needle = (
+            "exceeds the" if matched == "exceeds the ... memory" else matched
+        )
+        idx = next(
+            (i for i, ln in enumerate(lines) if needle in ln.lower()), 0
+        )
+        evidence = "\n".join(lines[max(0, idx - 2): idx + 12])[:2000]
         entry = {
             "fits": False,
-            "oom_ledger_head": msg[:2000],
+            "oom_matched_marker": matched,
+            "oom_evidence": evidence,
+            "oom_ledger_head": msg[:600],
             "wall_s": round(time.perf_counter() - t0, 1),
             "device": str(jax.devices()[0]),
         }
