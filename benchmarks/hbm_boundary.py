@@ -74,14 +74,14 @@ def main() -> None:
             params = prob.params
         elif args.op == "kfac":
             A = cl.KFACLinearOperator(
-                prob.model_fn, prob.loss_fn, prob.kfac_params, prob.data,
-                fisher_type=cl.FisherType.MC, **kw
+                prob.kfac_model_fn, prob.loss_fn, prob.kfac_params,
+                prob.data, fisher_type=cl.FisherType.MC, **kw
             )
             params = prob.kfac_params
         else:
             A = cl.EKFACLinearOperator(
-                prob.model_fn, prob.loss_fn, prob.kfac_params, prob.data,
-                fisher_type=cl.FisherType.MC, **kw
+                prob.kfac_model_fn, prob.loss_fn, prob.kfac_params,
+                prob.data, fisher_type=cl.FisherType.MC, **kw
             )
             params = prob.kfac_params
         v = jax.tree.map(lambda p: 0.01 * jnp.ones(p.shape, p.dtype), params)

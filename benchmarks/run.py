@@ -50,7 +50,7 @@ TIMED_RUNS = 3
 _RESOLVE_S = 8e-3
 _LOOP_ITERS_MAX = 10_000
 TIMING = "loop"  # set from --timing; "chain" = legacy host-dispatch chains
-RANK = None  # set from --rank; adds randomized rank-r build/matvec rows
+RANKS = ()  # set from --rank; adds randomized rank-r build/matvec rows
 def _device_peak_memory_gib() -> float | None:
     try:
         stats = jax.local_devices()[0].memory_stats()
@@ -472,7 +472,7 @@ def bench_kfac(prob, results: dict, kfac_approx: str = "expand") -> None:
         _timed_operator_matvec(inv, M), 3
     )
 
-    if RANK is not None:
+    for RANK in RANKS:
         # randomized rank-r inverse build: matmul-bound replacement for the
         # eigh-bound phase above (kfac/randomized.py)
         rinv = kfac.inverse(
@@ -536,7 +536,7 @@ def bench_ekfac(prob, results: dict) -> None:
     results["EKFAC build (s)"] = round(time.perf_counter() - t0, 4)
     del computer, out
 
-    if RANK is not None:
+    for RANK in RANKS:
         from curvlinops_tpu.kfac.ekfac import EKFACLinearOperator as _EK
 
         rek = _EK(
@@ -649,9 +649,10 @@ def main() -> None:
         "argparse accepts it)",
     )
     parser.add_argument(
-        "--rank", type=int, default=None,
+        "--rank", type=str, default=None,
         help="also measure the randomized rank-r KFAC inverse / EKFAC "
-        "builds (kfac/randomized.py) at this rank",
+        "builds (kfac/randomized.py) at these comma-separated rank(s); "
+        "one run amortizes the exact-eigh baseline across ranks",
     )
     parser.add_argument(
         "--timing", default="loop", choices=["loop", "chain"],
@@ -700,9 +701,15 @@ def main() -> None:
     unknown = [o for o in ops if o not in known_ops]
     if unknown:  # a typo'd op silently skipping would corrupt provenance
         parser.error(f"unknown --ops {unknown}; known: {sorted(known_ops)}")
-    global TIMING, RANK, REPEATS_IN_LOOP
+    global TIMING, RANKS, REPEATS_IN_LOOP
     TIMING = args.timing
-    RANK = args.rank
+    if args.rank:  # validate BEFORE device touch
+        try:
+            RANKS = tuple(int(r) for r in args.rank.split(","))
+        except ValueError:
+            parser.error(f"--rank must be comma-separated ints: {args.rank!r}")
+        if any(r < 1 for r in RANKS):
+            parser.error(f"--rank values must be >= 1: {args.rank!r}")
     if args.loop_iters is not None:
         # validate BEFORE device touch; a negative value would recurse the
         # escalation in _timed_loop forever (fori_loop(0, n<=0) runs 0
