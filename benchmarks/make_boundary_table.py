@@ -56,13 +56,14 @@ def render_cell(probes: dict[int, dict]) -> str:
     return f"< {min(ooms)} (OOM; no fitting probe yet)"
 
 
-def main() -> None:
+def render_table() -> str:
     cells = load_cells()
+    out: list[str] = []
     probed_ops = [
         op for op in OP_ORDER
         if any(k[1] == op for k in cells)
     ]
-    print(
+    out.append(
         "| problem | "
         + " | ".join(f"{op} {dt}" for op in probed_ops for dt in DTYPES
                      if any(k[1] == op and k[2] == dt for k in cells))
@@ -72,17 +73,36 @@ def main() -> None:
         (op, dt) for op in probed_ops for dt in DTYPES
         if any(k[1] == op and k[2] == dt for k in cells)
     ]
-    print("|" + "---|" * (len(columns) + 1))
+    out.append("|" + "---|" * (len(columns) + 1))
     for problem in PROBLEM_ORDER:
         if not any(k[0] == problem for k in cells):
             continue
         row = [render_cell(cells.get((problem, op, dt), {}))
                for op, dt in columns]
-        print(f"| {problem} | " + " | ".join(row) + " |")
+        out.append(f"| {problem} | " + " | ".join(row) + " |")
+
+    return "\n".join(out)
+
+
+def write_results_md() -> bool:
+    """Replace the marker-delimited table block in RESULTS.md; True if changed."""
+    md = Path(__file__).parent / "RESULTS.md"
+    text = md.read_text()
+    begin, end = "<!-- boundary-table:begin -->", "<!-- boundary-table:end -->"
+    i, j = text.index(begin), text.index(end)
+    new = text[: i + len(begin)] + "\n" + render_table() + "\n" + text[j:]
+    if new != text:
+        md.write_text(new)
+        return True
+    return False
+
+
+def main() -> None:
+    print(render_table())
 
     # OOM-ledger excerpts: the first failing batch per cell, so the table's
     # verdicts stay auditable without opening the JSON.
-    for (problem, op, dtype), probes in sorted(cells.items()):
+    for (problem, op, dtype), probes in sorted(load_cells().items()):
         ooms = sorted(b for b, e in probes.items() if not e["fits"])
         if not ooms:
             continue
@@ -94,4 +114,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--write" in _sys.argv:
+        print("updated" if write_results_md() else "unchanged")
+    else:
+        main()

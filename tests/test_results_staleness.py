@@ -49,18 +49,12 @@ def test_results_md_boundary_table_matches_banked_json():
         import make_boundary_table
     finally:
         sys.path.pop(0)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        make_boundary_table.main()
-    rows = [
-        line
-        for line in buf.getvalue().splitlines()
-        if line.startswith("| ") and not line.startswith("| problem")
-    ]
     page = (REPO / "benchmarks" / "RESULTS.md").read_text()
-    stale = [r for r in rows if r not in page]
-    assert not stale, (
+    begin = "<!-- boundary-table:begin -->"
+    end = "<!-- boundary-table:end -->"
+    block = page[page.index(begin) + len(begin): page.index(end)].strip()
+    expected = make_boundary_table.render_table().strip()
+    assert block == expected, (
         "RESULTS.md HBM-boundary table is stale vs results/hbm_boundary.json"
-        " — regenerate with `python benchmarks/make_boundary_table.py`. "
-        "Mismatched rows:\n" + "\n".join(stale)
+        " — refresh with `python benchmarks/make_boundary_table.py --write`."
     )
