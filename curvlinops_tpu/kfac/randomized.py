@@ -110,6 +110,14 @@ def randomized_eigh(
     )
     core = (core + core.swapaxes(-1, -2)) / 2
     lam, V = jnp.linalg.eigh(core)
+    # On rank-deficient S (true rank < requested rank — e.g. aaT with
+    # batch < D) the QR completion pads the basis with arbitrary
+    # directions whose core eigenvalues are pure roundoff of EITHER sign,
+    # at magnitudes far above eigh's own (~eps * |S|, not eps * wmax of a
+    # Gram square).  A negative lam flips the sign of the damped-inverse
+    # denominator lam_A * lam_G + damping downstream, so clamp to the PSD
+    # cone: those directions then get exactly the tail/damping treatment.
+    lam = jnp.maximum(lam, 0.0)
     U = jnp.einsum(
         "...dr,...rs->...ds", Q, V, precision=jax.lax.Precision.HIGHEST
     )
@@ -241,6 +249,10 @@ def batched_randomized_eigh(
             w_all, V_all = _mesh_sharded_eigh(all_cores, mesh, data_axis)
         else:
             w_all, V_all = jnp.linalg.eigh(all_cores)
+        # PSD clamp, same reason as randomized_eigh: QR-completion noise
+        # directions on rank-deficient factors carry negative roundoff
+        # eigenvalues large enough to flip damped-inverse denominators.
+        w_all = jnp.maximum(w_all, 0.0)
         lead = 0
         for (keys, Q, tr, D), core in zip(core_meta, core_batches):
             cnt = core.shape[0]

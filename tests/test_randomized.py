@@ -604,3 +604,43 @@ def test_ekfac_rank_rejects_bad_rank():
             model_fn, MSELoss("mean"), params, data,
             rank=-3, check_deterministic=False,
         )
+
+
+def test_randomized_eigh_rank_deficient_spectrum_is_psd():
+    """Rank-deficient factors must never emit negative eigenvalues.
+
+    Regression: with true rank (40) far below the requested rank (128), the
+    QR completion pads the basis with arbitrary directions whose core
+    eigenvalues are pure roundoff of EITHER sign — at activation scale ~30
+    they reached -0.09, flipping the sign of the 4-sector damped-inverse
+    denominator ``lam_A * lam_G + damping`` (|S11| hit 4e6 where the
+    intended cap is 1/damping = 1e3).  This is exactly the KFAC small-batch
+    case: rank(aaT) <= batch < rank.
+    """
+    D, true_rank, scale = 512, 40, 30.0
+    X = scale * jax.random.normal(jax.random.key(30), (D, true_rank))
+    S = X @ X.T / true_rank
+    lam, U, tail = randomized_eigh(S, rank=128, key=jax.random.key(31))
+    assert float(lam.min()) >= 0.0
+    assert float(tail) >= 0.0
+
+    damping = 1e-3
+    data = lr_damped_inverse_data((lam, U, tail), (lam, U, tail), damping)
+    _, _, S11, s12, s21, s22 = data
+    cap = 1.0 / damping
+    for name, sec in [("S11", S11), ("s12", s12), ("s21", s21), ("s22", s22)]:
+        mx = float(jnp.abs(sec).max())
+        assert 0.0 < mx <= cap * (1 + 1e-5), (name, mx)
+
+
+def test_batched_randomized_eigh_rank_deficient_is_psd():
+    """The shape-batched build path needs the same PSD clamp."""
+    key = jax.random.key(32)
+    mats = {}
+    for i, (d, tr) in enumerate([(300, 20), (300, 20), (400, 8)]):
+        X = 30.0 * jax.random.normal(jax.random.fold_in(key, i), (d, tr))
+        mats[f"m{i}"] = X @ X.T / tr
+    out = batched_randomized_eigh(mats, rank=96, key=jax.random.key(33))
+    for k, (lam, U, tail) in out.items():
+        assert float(lam.min()) >= 0.0, k
+        assert float(tail) >= 0.0, k
