@@ -54,6 +54,17 @@ CELLS = [
     ("cifar10_vit", "ekfac", "float32", 256),
     ("mnist_mlp", "ggn", "float32", 2097152),
     ("mnist_mlp", "kfac", "float32", 1048576),
+    # bf16 build columns, seeded at 2x the measured f32 boundary (bf16
+    # bought exactly one doubling on every GGN conv-net row) except ViT,
+    # whose GGN boundary was dtype-independent (fp32 attention temps)
+    ("shakespeare_nanogpt", "kfac", "bfloat16", 32),
+    ("imagenet_resnet50", "kfac", "bfloat16", 512),
+    ("cifar10_resnet18", "kfac", "bfloat16", 65536),
+    ("cifar10_vit", "kfac", "bfloat16", 2048),
+    ("shakespeare_nanogpt", "ekfac", "bfloat16", 16),
+    ("imagenet_resnet50", "ekfac", "bfloat16", 512),
+    ("cifar10_resnet18", "ekfac", "bfloat16", 16384),
+    ("cifar10_vit", "ekfac", "bfloat16", 512),
 ]
 
 MAX_BATCH = 1 << 23  # ladder safety stop: beyond this, "boundary > 8M"

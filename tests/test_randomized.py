@@ -644,3 +644,39 @@ def test_batched_randomized_eigh_rank_deficient_is_psd():
     for k, (lam, U, tail) in out.items():
         assert float(lam.min()) >= 0.0, k
         assert float(tail) >= 0.0, k
+
+
+def test_kfac_inverse_rank_deficient_small_batch_close_to_exact():
+    """Operator-level PSD-clamp regression: ``inverse(rank=)`` on a batch
+    far smaller than the factor dims (rank(aaT) <= B) must stay close to
+    the exact-damped inverse instead of blowing past the 1/damping cap."""
+    key = jax.random.key(0)
+    k1, k2, kx = jax.random.split(key, 3)
+    params = {
+        "w1": jax.random.normal(k1, (64, 128)) * 0.3,
+        "b1": jnp.zeros(128),
+        "w2": jax.random.normal(k2, (128, 4)) * 0.3,
+        "b2": jnp.zeros(4),
+    }
+
+    def model_fn(p, x):
+        return jnp.tanh(x @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+
+    # B=2 << D, activations at scale 30: pre-clamp, the noise directions'
+    # negative core eigenvalues drove |inverse @ v| to ~1e6 x the exact one
+    X = 30.0 * jax.random.normal(kx, (2, 64))
+    Y = jax.random.normal(jax.random.fold_in(kx, 1), (2, 4))
+    K = KFACLinearOperator(
+        model_fn, MSELoss("mean"), params, [(X, Y)],
+        check_deterministic=False,
+    )
+    v = np.asarray(
+        jax.random.normal(jax.random.key(7), (K.shape[1],)), dtype=np.float32
+    )
+    exact = np.asarray(K.inverse(damping=1e-3, use_exact_damping=True) @ v)
+    ranked = np.asarray(
+        K.inverse(damping=1e-3, use_exact_damping=True, rank=48) @ v
+    )
+    assert np.isfinite(ranked).all()
+    rel = np.linalg.norm(ranked - exact) / np.linalg.norm(exact)
+    assert rel < 0.05, rel
