@@ -356,19 +356,12 @@ class KFACComputer:
                         )
                         cov_u = cov_u.astype(jnp.float32)
                     else:
-                        a = kmath.input_to_sharing_format(
+                        # block-form padded covariance: the bias-pad column
+                        # is folded in closed form, so no padded tap/patch
+                        # copy is materialized next to the vjp residuals
+                        cov_u, S_u = kmath.input_covariance(
                             x_u, u.kind, meta_u, kfac_approx, bias_pad=bias_pad
                         )
-                        # f32 accumulation for bf16 models (MXU-native:
-                        # bf16 multiply, f32 accumulate)
-                        cov_u = (
-                            jnp.einsum("lbsi,lbsj->lij", a, a,
-                                       preferred_element_type=jnp.float32)
-                            if a.ndim == 4
-                            else jnp.einsum("bsi,bsj->ij", a, a,
-                                            preferred_element_type=jnp.float32)
-                        )
-                        S_u = a.shape[-2]
                     # cond-gated layer: an untaken branch contributes a zero
                     # Fisher block (the gate is 1 outside conds)
                     gate = gates[u.layer_id]

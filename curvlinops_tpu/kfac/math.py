@@ -368,6 +368,52 @@ def input_to_sharing_format(
     return x
 
 
+def input_covariance(
+    x: jax.Array,
+    kind: str,
+    meta: dict,
+    kfac_approx: str,
+    bias_pad: float | None = None,
+) -> tuple[jax.Array, int]:
+    """Input covariance ``sum_{b,s} a a^T`` WITHOUT materializing the
+    bias-padded sharing-format tensor.
+
+    ``input_to_sharing_format(..., bias_pad=p)`` concatenates a constant
+    column onto the ``[.., B, S, d_in]`` input, which costs a second
+    tap/patch-sized HBM buffer just to feed the covariance einsum (the
+    original stays live as a vjp residual; on the ViT KFAC build these
+    pad copies sit at peak).  The padded covariance has a closed block
+    form from the UNPADDED input::
+
+        [[ sum a a^T,   p * colsum(a)],
+         [ p*colsum^T,  p^2 * B * S  ]]
+
+    matching the concat-then-einsum result exactly up to f32 reduction
+    order (cross terms are ``sum a * p``, the corner is ``sum p^2``).
+
+    Returns ``(cov [.., d(+1), d(+1)] float32, S)`` — f32 accumulation
+    from bf16 inputs stays MXU-native (bf16 multiply, f32 accumulate),
+    matching the einsum's ``preferred_element_type`` path.
+    """
+    a = input_to_sharing_format(x, kind, meta, kfac_approx, bias_pad=None)
+    S = a.shape[-2]
+    cov = (
+        jnp.einsum("lbsi,lbsj->lij", a, a, preferred_element_type=jnp.float32)
+        if a.ndim == 4
+        else jnp.einsum("bsi,bsj->ij", a, a, preferred_element_type=jnp.float32)
+    )
+    if bias_pad is None:
+        return cov, S
+    n = a.shape[-3] * S  # B * S constant-column self-products
+    r = jnp.sum(a, axis=(-3, -2), dtype=jnp.float32) * bias_pad
+    corner = jnp.full(
+        cov.shape[:-2] + (1, 1), float(bias_pad) ** 2 * n, jnp.float32
+    )
+    top = jnp.concatenate([cov, r[..., :, None]], axis=-1)
+    bot = jnp.concatenate([r[..., None, :], corner], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2), S
+
+
 def _grad_vbsd(g: jax.Array, kind: str, meta: dict) -> jax.Array:
     """Layer-output gradients ``[V, B, *out]`` to base ``[V, B, S, d_out]``."""
     if kind == "conv":

@@ -112,3 +112,43 @@ def test_sharing_format_reduce_uses_averaged_path():
     full = extract_conv_patches(x, meta).mean(axis=1, keepdims=True)
     expect = jnp.concatenate([full, jnp.ones((2, 1, 1))], axis=-1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
+
+
+@pytest.mark.parametrize("approx", ["expand", "reduce"])
+@pytest.mark.parametrize("bias_pad", [None, 1.0, 0.0])
+def test_input_covariance_block_form_equals_concat(approx, bias_pad):
+    """``input_covariance`` folds the bias-pad column in closed block form;
+    it must equal the concat-then-einsum covariance exactly (same f32
+    accumulation), for dense, conv, and stacked-scan inputs."""
+    from curvlinops_tpu.kfac.math import input_covariance
+
+    key = jax.random.key(5)
+
+    def concat_cov(x, kind, meta):
+        a = input_to_sharing_format(x, kind, meta, approx, bias_pad=bias_pad)
+        cov = (
+            jnp.einsum("lbsi,lbsj->lij", a, a,
+                       preferred_element_type=jnp.float32)
+            if a.ndim == 4
+            else jnp.einsum("bsi,bsj->ij", a, a,
+                            preferred_element_type=jnp.float32)
+        )
+        return cov, a.shape[-2]
+
+    cases = [
+        ("dense", {"x_contract": (2,), "d_in": 12},
+         jax.random.normal(key, (6, 4, 12))),
+        ("dense", {"x_contract": (2,), "d_in": 12,
+                   "scan": {"kind": "stacked"}},
+         jax.random.normal(jax.random.fold_in(key, 1), (3, 6, 4, 12))),
+        ("conv", _meta((4, 3, 8, 8), (5, 3, 3, 3),
+                       padding=((1, 1), (1, 1))),
+         jax.random.normal(jax.random.fold_in(key, 2), (4, 3, 8, 8))),
+    ]
+    for kind, meta, x in cases:
+        c0, s0 = concat_cov(x, kind, meta)
+        c1, s1 = input_covariance(x, kind, meta, approx, bias_pad=bias_pad)
+        assert s0 == s1
+        np.testing.assert_allclose(
+            np.asarray(c1), np.asarray(c0), atol=1e-5, rtol=1e-5
+        )
