@@ -49,6 +49,11 @@ def render_cell(probes: dict[int, dict]) -> str:
         return "—"
     fits = sorted(b for b, e in probes.items() if e["fits"])
     ooms = sorted(b for b, e in probes.items() if not e["fits"])
+    if fits and ooms and min(ooms) <= max(fits):
+        # A banked OOM at a batch that also (or at a smaller batch than one
+        # that) fit is contradictory — likely a flaky-tunnel failure. Never
+        # publish a boundary above a measured failure; demand a re-probe.
+        return f"CONFLICT (fit {max(fits)} but OOM {min(ooms)}; re-probe)"
     if fits and ooms and min(ooms) <= 2 * max(fits):
         return f"**{max(fits)}** (OOM at {min(ooms)})"
     if fits:
