@@ -27,6 +27,19 @@ sharing dims, reductions, and batch splits here catches silent SCALING bugs
 the B=1 oracle.  ``lax.cond`` is excluded by design: different batches can
 take different branches, which breaks the Kronecker factorization across
 batches legitimately (approximation error, not a miscompute).
+
+A fourth family is the CONV sibling of the third (the reference's Conv2d
+weight-sharing exactness axis, ``test/kfac_cases.py:98-112``): a first conv
+with fuzzed layout / kernel / stride / padding / dilation / groups followed
+by a deep-LINEAR tail of 1x1 stride-1 convs.  Per output location the model
+is the same deep-linear map of that location's input patch, so KFAC
+EXPAND/REDUCE with TYPE2 + MSE is exactly the block-diagonal GGN — covering
+the conv canonicalization the dense families cannot touch: layout
+permutations (NHWC/NCHW x HWIO/OIHW, 1-D and 2-D), strided patch
+extraction, SAME/VALID/negative padding (the pad fallback), kernel
+dilation, grouped-channel averaging (exact when the input channels are
+group-replicated, reducing it to the ungrouped case), channel-axis biases
+in either layout, and the REDUCE averaged-patch path.
 """
 
 import random
@@ -521,6 +534,243 @@ def test_fuzz_linear_sharing_exact_or_refuse(chunk, n_per_chunk=20):
             expected,
             rtol=5e-3,
             atol=1e-5,
+            name=f"seed {seed} ({case['setting']})",
+        )
+    assert built >= n_per_chunk // 3, (built, refused)
+
+
+# ---------------------------------------------------------------------------
+# oracle 4: conv weight-sharing exactness (layouts x groups x strides)
+# ---------------------------------------------------------------------------
+
+_RHS_2D = ["HWIO", "OIHW"]
+_LHS_2D = ["NHWC", "NCHW"]
+_RHS_1D = ["WIO", "OIW"]
+_LHS_1D = ["NWC", "NCW"]
+
+
+def _weight_shape(rhs_spec, c_in_pg, c_out, ksizes):
+    """Build the kernel shape from an rhs dimension-numbers string."""
+    spatial = iter(ksizes)
+    return tuple(
+        c_out if ch == "O" else c_in_pg if ch == "I" else next(spatial)
+        for ch in rhs_spec
+    )
+
+
+def _channel_axis(layout):
+    return layout.index("C")
+
+
+def _spatial_axes(layout):
+    return tuple(i for i, ch in enumerate(layout) if ch not in "NC")
+
+
+def _gen_conv_layer(rng, idx, layout, c_in, spatial, params, *, first,
+                    groups=1):
+    """One conv segment; returns ``(apply, out_layout, c_out, out_spatial)``.
+
+    The first layer draws adversarial kernel/stride/padding/dilation (and
+    takes the builder's ``groups``); later layers are 1x1 stride-1 VALID
+    (the per-location deep-linear tail that keeps EXPAND/REDUCE provably
+    exact).
+    """
+    nd = len(spatial)
+    rhs = rng.choice(_RHS_2D if nd == 2 else _RHS_1D)
+    out_layout = rng.choice(_LHS_2D if nd == 2 else _LHS_1D)
+    name = f"conv{idx}"
+    if first:
+        ksizes = tuple(rng.randint(1, min(3, s)) for s in spatial)
+        strides = tuple(rng.choice([1, 1, 2]) for _ in spatial)
+        pad_kind = rng.choice(["VALID", "VALID", "SAME", "negative"])
+        if pad_kind == "negative" and all(
+            s - k >= 1 for s, k in zip(spatial, ksizes)
+        ):
+            padding = [(-1, 0)] + [(0, 0)] * (nd - 1)
+        elif pad_kind == "SAME":
+            padding = "SAME"
+        else:
+            padding = "VALID"
+        rhs_dilation = tuple(
+            rng.choice([1, 1, 1, 2]) if (k - 1) * 2 + 1 <= s else 1
+            for k, s in zip(ksizes, spatial)
+        )
+    else:
+        ksizes = (1,) * nd
+        strides = (1,) * nd
+        padding = "VALID"
+        rhs_dilation = (1,) * nd
+    c_out = rng.choice([2, 3]) if groups == 1 else rng.choice([2, 4])
+    c_in_pg = c_in // groups
+    params[name] = {"W": _normal(rng, _weight_shape(rhs, c_in_pg, c_out, ksizes))}
+    bias = rng.random() < 0.5
+    if bias:
+        params[name]["b"] = _normal(rng, (c_out,), 0.1)
+    dimnums = (layout, rhs, out_layout)
+    c_ax = _channel_axis(out_layout)
+
+    def apply(p, x, n=name):
+        z = jax.lax.conv_general_dilated(
+            x, p[n]["W"], strides, padding,
+            rhs_dilation=rhs_dilation,
+            dimension_numbers=dimnums,
+            feature_group_count=groups,
+        )
+        if bias:
+            bshape = [1] * z.ndim
+            bshape[c_ax] = c_out
+            z = z + p[n]["b"].reshape(bshape)
+        return z
+
+    # infer the output spatial sizes by tracing the layer shape once
+    probe = jax.eval_shape(
+        apply,
+        {name: {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                for k, v in params[name].items()}},
+        jax.ShapeDtypeStruct(
+            tuple(
+                1 if ch == "N" else c_in if ch == "C"
+                else spatial[_spatial_axes(layout).index(i)]
+                for i, ch in enumerate(layout)
+            ),
+            jnp.float32,
+        ),
+    )
+    out_spatial = tuple(probe.shape[a] for a in _spatial_axes(out_layout))
+    return apply, out_layout, c_out, out_spatial, groups
+
+
+def build_conv_sharing_case(seed):
+    """Random conv-front deep-linear net + MSE; exact for EXPAND and REDUCE."""
+    rng = random.Random(seed)
+    params = {}
+    nd = rng.choice([1, 2])
+    spatial = (
+        tuple(rng.choice([3, 4, 5]) for _ in range(2))
+        if nd == 2
+        else (rng.choice([4, 6, 8]),)
+    )
+    layout = rng.choice(_LHS_2D if nd == 2 else _LHS_1D)
+    in_layout = layout
+    c_in = rng.choice([1, 2, 3])
+
+    segments = []
+    cur_spatial = spatial
+    first_groups = 2 if rng.random() < 0.3 else 1
+    if first_groups > 1:
+        # grouped first conv needs an even channel count to replicate
+        c_in = rng.choice([2, 4])
+    c = c_in
+    n_layers = rng.choice([1, 1, 2, 3])
+    for idx in range(n_layers):
+        seg, layout, c, cur_spatial, g = _gen_conv_layer(
+            rng, idx, layout, c, cur_spatial, params, first=(idx == 0),
+            groups=first_groups if idx == 0 else 1,
+        )
+        segments.append(seg)
+        if any(s < 1 for s in cur_spatial):  # over-cropped draw: retry seed
+            return None
+
+    setting = rng.choice(["expand", "expand", "reduce", "reduce"])
+    flatten = setting == "expand" and rng.random() < 0.3
+    head = setting == "reduce" and rng.random() < 0.5
+    if head:
+        params["head"] = {"W": _normal(rng, (c, rng.choice([2, 3])))}
+
+    final_layout = layout
+    sp_axes = _spatial_axes(final_layout)
+    c_ax = _channel_axis(final_layout)
+    to_channels_last = (0, *sp_axes, c_ax)
+
+    def model_fn(p, x):
+        for seg in segments:
+            x = seg(p, x)
+        if setting == "reduce":
+            x = x.mean(axis=sp_axes)
+            if head:
+                x = x @ p["head"]["W"]
+            return x
+        x = x.transpose(to_channels_last)
+        return x.reshape(x.shape[0], -1) if flatten else x
+
+    d_out = c if not head else params["head"]["W"].shape[1]
+    in_sp_axes = _spatial_axes(in_layout)
+    in_c_ax = _channel_axis(in_layout)
+
+    def make_X(rng, B):
+        shape = [B] * len(in_layout)
+        for a, s in zip(in_sp_axes, spatial):
+            shape[a] = s
+        if first_groups > 1:
+            # group-replicated input channels: grouped-channel averaging
+            # reduces exactly to the ungrouped single-group case
+            shape[in_c_ax] = c_in // first_groups
+            base = _normal(rng, tuple(shape), 1.0)
+            return jnp.concatenate([base] * first_groups, axis=in_c_ax)
+        shape[in_c_ax] = c_in
+        return _normal(rng, tuple(shape), 1.0)
+
+    out_spatial = cur_spatial
+    batches = rng.choice([1, 2])
+    data = []
+    for _ in range(batches):
+        B = rng.choice([1, 2, 4])
+        X = make_X(rng, B)
+        if setting == "reduce":
+            y = _normal(rng, (B, d_out), 1.0)
+        elif flatten:
+            y = _normal(rng, (B, int(np.prod(out_spatial)) * c), 1.0)
+        else:
+            y = _normal(rng, (B, *out_spatial, c), 1.0)
+        data.append((X, y))
+
+    approx = KFACType.REDUCE if setting == "reduce" else KFACType.EXPAND
+    return dict(
+        model_fn=model_fn,
+        loss_fn=MSELoss(rng.choice(["mean", "sum"])),
+        params=params,
+        data=data,
+        separate=rng.random() < 0.7,
+        kfac_approx=approx,
+        setting=f"{setting} nd={nd} groups={first_groups}",
+    )
+
+
+@pytest.mark.parametrize("chunk", range(6))
+def test_fuzz_conv_sharing_exact_or_refuse(chunk, n_per_chunk=15):
+    """90 generated conv-sharing cases: exact vs dense GGN or refuse."""
+    built, refused = 0, 0
+    for seed in range(chunk * n_per_chunk, (chunk + 1) * n_per_chunk):
+        case = build_conv_sharing_case(seed)
+        if case is None:  # degenerate spatial draw
+            continue
+        try:
+            kfac = KFACLinearOperator(
+                case["model_fn"],
+                case["loss_fn"],
+                case["params"],
+                case["data"],
+                fisher_type=FisherType.TYPE2,
+                kfac_approx=case["kfac_approx"],
+                separate_weight_and_bias=case["separate"],
+                check_deterministic=False,
+            )
+            dense_kfac = np.asarray(kfac.todense())
+        except (ValueError, NotImplementedError):
+            refused += 1
+            continue
+        built += 1
+        dense = dense_ggn(
+            case["model_fn"], case["loss_fn"], case["params"], case["data"]
+        )
+        expected = blockdiag_projection(
+            np.asarray(dense), case["params"], kfac.groups
+        )
+        report_nonclose(
+            dense_kfac,
+            expected,
+            rtol=5e-3,
+            atol=2e-5,
             name=f"seed {seed} ({case['setting']})",
         )
     assert built >= n_per_chunk // 3, (built, refused)

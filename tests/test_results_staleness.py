@@ -58,3 +58,21 @@ def test_results_md_boundary_table_matches_banked_json():
         "RESULTS.md HBM-boundary table is stale vs results/hbm_boundary.json"
         " — refresh with `python benchmarks/make_boundary_table.py --write`."
     )
+
+
+def test_results_md_composite_table_matches_banked_jsons():
+    sys.path.insert(0, str(REPO / "benchmarks"))
+    try:
+        import make_composite_table
+    finally:
+        sys.path.pop(0)
+    page = (REPO / "benchmarks" / "RESULTS.md").read_text()
+    begin = "<!-- composite-table:begin -->"
+    end = "<!-- composite-table:end -->"
+    block = page[page.index(begin) + len(begin): page.index(end)].strip()
+    expected = make_composite_table.render_table().strip()
+    assert block == expected, (
+        "RESULTS.md natural-gradient composite table is stale vs the banked"
+        " per-problem JSONs — refresh with "
+        "`python benchmarks/make_composite_table.py --write`."
+    )
