@@ -201,7 +201,9 @@ def main() -> None:
         "",
         "Generated by `python tools/gen_api_docs.py` from the public "
         "docstrings — regenerate after changing them. See `MIGRATION.md` "
-        "for the reference-API mapping and `examples/` for tutorials.",
+        "for the reference-API mapping, `examples/` for tutorials, and "
+        "`docs/PLAYBOOK.md` for the large-model inversion recipes "
+        "(exact / Cholesky / rank-r / mesh, with measured costs).",
     ]
     for title, blurb, names in GROUPS:
         out += ["", f"## {title}", ""]
