@@ -131,6 +131,104 @@ def speedup_tables() -> None:
     print(f"| {row} (no ref counterpart) | " + " | ".join(cells) + " |")
 
 
+_BF16_PROBLEMS = [
+    ("synthetic_cifar10_resnet18", "cifar10_resnet18"),
+    ("synthetic_imagenet_resnet50", "imagenet_resnet50"),
+    ("synthetic_cifar10_vit", "cifar10_vit"),
+    ("synthetic_shakespeare_nanogpt", "shakespeare_nanogpt"),
+]
+# reference column index (into the 4-wide _REF_* tuples) per bf16 problem;
+# the ViT has no reference counterpart
+_BF16_REF_COL = {"cifar10_resnet18": 1, "imagenet_resnet50": 2,
+                 "shakespeare_nanogpt": 3}
+
+_BF16_ROWS_MS = [
+    "gradient+loss", "Hessian matvec", "GGN matvec", "MC-Fisher matvec",
+    "Empirical Fisher matvec", "KFAC matvec", "KFAC inverse matvec",
+    "EKFAC matvec",
+]
+_BF16_ROWS_S = ["KFAC factors", "EKFAC build"]
+_BF16_ROWS_S_NOREF = [
+    "KFAC exact-damped inverse build",
+    "KFAC heuristic inverse build",
+]
+
+
+def bf16_table() -> str:
+    """The full-operator bf16 table (speedups vs the reference's compiled
+    fp32/TF32 A6000 — it publishes no bf16 rows), regenerated from the
+    banked ``*_bfloat16.json`` files."""
+    datas = [(short, _load(name, "bfloat16")) for name, short in _BF16_PROBLEMS]
+    datas = [(s, d) for s, d in datas if d]
+    out = ["| operator | " + " | ".join(s for s, _ in datas) + " |",
+           "|" + "---|" * (len(datas) + 1)]
+
+    def ref_for(short: str, row: str, table) -> float | None:
+        col = _BF16_REF_COL.get(short)
+        return table[row][col] if col is not None and row in table else None
+
+    def fmt(v, ref_ms, unit) -> str:
+        if v is None:
+            return "—"
+        if isinstance(v, str):  # below-floor sentinel
+            return v
+        speedup = ""
+        ms = v * 1e3 if unit == "s" else v
+        if ref_ms is not None and ms > 0:
+            speedup = f" ({ref_ms / ms:.1f}×)"
+        return f"{v:.3g} {unit}{speedup}"
+
+    for row in _BF16_ROWS_MS:
+        cells = [
+            fmt(d.get(f"{row} (ms)"), ref_for(short, row, _REF_MATVEC_MS),
+                "ms")
+            for short, d in datas
+        ]
+        if any(c != "—" for c in cells):
+            out.append(f"| {row} | " + " | ".join(cells) + " |")
+    for row in _BF16_ROWS_S + _BF16_ROWS_S_NOREF:
+        cells = [
+            fmt(d.get(f"{row} (s)"),
+                ref_for(short, row, _REF_PRECOMPUTE_MS), "s")
+            for short, d in datas
+        ]
+        if any(c != "—" for c in cells):
+            out.append(f"| {row} | " + " | ".join(cells) + " |")
+    # rank-r rows, whatever ranks are banked
+    ranks = sorted({
+        key[len("KFAC inverse build rank="):].split(" ")[0]
+        for _, d in datas for key in d
+        if key.startswith("KFAC inverse build rank=")
+    }, key=int)
+    for r in ranks:
+        for template, unit in (
+            (f"KFAC inverse build rank={r}", "s"),
+            (f"KFAC inverse matvec rank={r}", "ms"),
+        ):
+            cells = []
+            for _, d in datas:
+                v = d.get(f"{template} ({unit})")
+                cells.append(
+                    "—" if v is None
+                    else (v if isinstance(v, str) else f"{v:.3g} {unit}")
+                )
+            if any(c != "—" for c in cells):
+                out.append(f"| {template} | " + " | ".join(cells) + " |")
+    return "\n".join(out)
+
+
+def write_bf16_block() -> bool:
+    md = Path(__file__).parent / "RESULTS.md"
+    text = md.read_text()
+    begin, end = "<!-- bf16-table:begin -->", "<!-- bf16-table:end -->"
+    i, j = text.index(begin), text.index(end)
+    new = text[: i + len(begin)] + "\n" + bf16_table() + "\n" + text[j:]
+    if new != text:
+        md.write_text(new)
+        return True
+    return False
+
+
 def main() -> None:
     speedup_tables()
     for dtype in ("float32", "bfloat16"):

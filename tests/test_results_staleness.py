@@ -76,3 +76,22 @@ def test_results_md_composite_table_matches_banked_jsons():
         " per-problem JSONs — refresh with "
         "`python benchmarks/make_composite_table.py --write`."
     )
+
+
+def test_results_md_bf16_table_matches_banked_jsons():
+    sys.path.insert(0, str(REPO / "benchmarks"))
+    try:
+        import make_stats_table
+    finally:
+        sys.path.pop(0)
+    page = (REPO / "benchmarks" / "RESULTS.md").read_text()
+    begin = "<!-- bf16-table:begin -->"
+    end = "<!-- bf16-table:end -->"
+    block = page[page.index(begin) + len(begin): page.index(end)].strip()
+    expected = make_stats_table.bf16_table().strip()
+    assert block == expected, (
+        "RESULTS.md bfloat16 table is stale vs the banked *_bfloat16.json "
+        "files — refresh with `python -c \"import sys; "
+        "sys.path.insert(0,'benchmarks'); import make_stats_table; "
+        "make_stats_table.write_bf16_block()\"`."
+    )
