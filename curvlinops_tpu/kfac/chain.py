@@ -222,6 +222,133 @@ def stacked_kron_inverse(
     ]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("struct", "use_heuristic")
+)
+def _grouped_kron_inverse_program(
+    factors: dict, damping, min_damping, *, struct, use_heuristic: bool
+):
+    """Damped-invert every plain/heuristic Kronecker factor in ONE program.
+
+    ``factors`` maps ``(gi, fi) -> factor`` (values may carry leading stack
+    axes); ``struct`` is a hashable ``((gi, n_factors), ...)``. Equal factor
+    shapes share one batched Cholesky (a transformer repeats the same few
+    sizes across layers). Returns ``(inv, flags)`` where ``flags[0]`` is
+    "some Cholesky produced NaN" and ``flags[1]`` is "heuristic damping met
+    a negative mean eigenvalue" — the caller reads the two-bool array ONCE,
+    where the per-block path pays 2-4 host readbacks per block (measured
+    7.8 s of pure tunnel latency for a ms-scale compute on the 124M GPT).
+    """
+    damps: dict = {}
+    neg = jnp.zeros((), jnp.bool_)
+    sqrtd = jnp.sqrt(jnp.asarray(damping))
+    for gi, nf in struct:
+        if use_heuristic and nf == 2:
+            # Martens-Grosse pi-split (kronecker.py:303-373 semantics)
+            S1, S2 = factors[(gi, 0)], factors[(gi, 1)]
+            m1 = jnp.mean(jnp.diagonal(S1, axis1=-2, axis2=-1), axis=-1)
+            m2 = jnp.mean(jnp.diagonal(S2, axis1=-2, axis2=-1), axis=-1)
+            neg = neg | jnp.any(m1 < 0) | jnp.any(m2 < 0)
+            pi = jnp.sqrt(m2 / m1)
+            damps[(gi, 0)] = jnp.maximum(sqrtd / pi, min_damping)
+            damps[(gi, 1)] = jnp.maximum(sqrtd * pi, min_damping)
+        else:
+            d = (
+                jnp.maximum(jnp.asarray(damping), min_damping)
+                if use_heuristic
+                else jnp.asarray(damping)
+            )
+            for fi in range(nf):
+                damps[(gi, fi)] = d
+    by_shape: dict = {}
+    for key in sorted(factors):
+        S = factors[key]
+        by_shape.setdefault((S.shape[-1], str(S.dtype)), []).append(key)
+    inv_out: dict = {}
+    nan = jnp.zeros((), jnp.bool_)
+    for (D, _), keys in sorted(by_shape.items()):
+        counts = [
+            int(np.prod(factors[k].shape[:-2], dtype=np.int64)) or 1
+            for k in keys
+        ]
+        A = jnp.concatenate(
+            [factors[k].reshape(-1, D, D) for k in keys]
+        )
+        dvec = jnp.concatenate(
+            [
+                jnp.broadcast_to(damps[k], (cnt,)).reshape(-1)
+                for k, cnt in zip(keys, counts)
+            ]
+        )
+        eye = jnp.eye(D, dtype=A.dtype)
+        damped = A + dvec[:, None, None].astype(A.dtype) * eye
+        Lc = jnp.linalg.cholesky(damped)
+        inv = jax.vmap(
+            lambda c: jax.scipy.linalg.cho_solve((c, True), eye)
+        )(Lc)
+        nan = nan | jnp.isnan(Lc).any()
+        lead = 0
+        for k, cnt in zip(keys, counts):
+            inv_out[k] = inv[lead : lead + cnt].reshape(factors[k].shape)
+            lead += cnt
+    return inv_out, jnp.stack([nan, neg])
+
+
+def grouped_kron_inverse(
+    blocks: dict,
+    damping: float,
+    use_heuristic_damping: bool,
+    min_damping: float,
+) -> dict | None:
+    """Batched plain/heuristic damped inversion of ``kron``/``skron`` blocks.
+
+    One jitted program + ONE two-flag readback for the whole model (the
+    per-block path's eager means/NaN checks cost 2-4 tunnel round trips per
+    block — the dominant cost of a Cholesky build through the remote TPU).
+
+    Returns ``{gi: [inverted factors...]}``, or ``None`` when some factor's
+    Cholesky produced NaN — the caller then falls back to the per-block
+    path, which retries the failing factors in float64.
+
+    Raises:
+        ValueError: Heuristic damping with more than two factors (matching
+            ``ops/kronecker.py``).
+        RuntimeError: Heuristic damping met a negative mean eigenvalue.
+    """
+    if not blocks:
+        return {}
+    if use_heuristic_damping and any(
+        len(f) > 2 for _, f in blocks.values()
+    ):
+        raise ValueError(
+            "Heuristic damping supports at most two factors."
+        )
+    struct = tuple(
+        sorted((gi, len(fs)) for gi, (_, fs) in blocks.items())
+    )
+    factors = {
+        (gi, fi): S
+        for gi, (_, fs) in blocks.items()
+        for fi, S in enumerate(fs)
+    }
+    inv, flags = _grouped_kron_inverse_program(
+        factors,
+        damping,
+        min_damping,
+        struct=struct,
+        use_heuristic=use_heuristic_damping,
+    )
+    flags = np.asarray(flags)  # the single host readback
+    if flags[1]:
+        raise RuntimeError("Negative mean eigenvalue detected.")
+    if flags[0]:
+        return None
+    return {
+        gi: [inv[(gi, fi)] for fi in range(len(fs))]
+        for gi, (_, fs) in blocks.items()
+    }
+
+
 class KroneckerChainOperator(ChainLinearOperator):
     """``FromCanonical @ blockdiag(blocks) @ ToCanonical`` with jitted apply.
 

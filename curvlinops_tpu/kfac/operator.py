@@ -35,6 +35,7 @@ Example:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable
 
 import jax
@@ -45,11 +46,49 @@ from curvlinops_tpu.kfac import math as kmath
 from curvlinops_tpu.kfac.chain import (
     KroneckerChainOperator,
     batched_eigh,
+    grouped_kron_inverse,
     stacked_kron_inverse,
 )
 from curvlinops_tpu.kfac.computer import KFACComputer, ParamGroup
 from curvlinops_tpu.ops.blockdiag import BlockDiagonalLinearOperator
 from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator
+
+
+@functools.partial(jax.jit, static_argnames=("struct",))
+def _damped_eig_assembly_program(eig, reig, diag, damping, *, struct):
+    """Assemble every exact/rank-r damped-inverse block in ONE program.
+
+    ``struct`` is a hashable ``((gi, kind, n_factors, mode), ...)`` with
+    ``mode`` in ``{"lr", "krond", "eig"}``; ``eig``/``reig`` are the
+    outputs of ``batched_eigh``/``batched_randomized_eigh`` keyed by
+    ``(gi, fi)``; ``diag`` maps embedding blocks to their diagonal factor.
+    The per-block eager assembly paid ~5 tunnel dispatches per block.
+    """
+    from curvlinops_tpu.kfac.randomized import lr_damped_inverse_data
+
+    out = {}
+    for gi, kind, nf, mode in struct:
+        if mode == "lr":
+            out[gi] = lr_damped_inverse_data(
+                reig[(gi, 0)], reig[(gi, 1)], damping
+            )
+        elif mode == "krond":
+            lam_G, Q_G = eig[(gi, 0)]
+            lam = lam_G[:, None] * diag[gi][None, :]
+            out[gi] = (1.0 / (lam + damping), Q_G)
+        else:
+            lams = [eig[(gi, fi)][0] for fi in range(nf)]
+            Qs = [eig[(gi, fi)][1] for fi in range(nf)]
+            kron_lam = lams[0]
+            for lam in lams[1:]:
+                if kind == "skron":  # batched kron over the stack axis
+                    kron_lam = (
+                        kron_lam[..., :, None] * lam[..., None, :]
+                    ).reshape(kron_lam.shape[0], -1)
+                else:
+                    kron_lam = jnp.kron(kron_lam, lam)
+            out[gi] = (1.0 / (kron_lam + damping), Qs)
+    return out
 
 
 def make_to_canonical(
@@ -329,10 +368,10 @@ class KFACLinearOperator(KroneckerChainOperator):
                 mesh=getattr(self, "_mesh", None),
                 data_axis=getattr(self, "_data_axis", "data"),
             )
+            reig = {}
             if flat_rand:
                 from curvlinops_tpu.kfac.randomized import (
                     batched_randomized_eigh,
-                    lr_damped_inverse_data,
                 )
 
                 reig = batched_randomized_eigh(
@@ -343,33 +382,47 @@ class KFACLinearOperator(KroneckerChainOperator):
                     mesh=getattr(self, "_mesh", None),
                     data_axis=getattr(self, "_data_axis", "data"),
                 )
+            # assemble every block's damped inverse data in ONE jitted
+            # program (the per-block eager kron/reciprocal/sector ops cost
+            # ~5 tunnel dispatches per block; measured seconds of pure
+            # latency on the 124M GPT's 48 blocks)
+            struct, diag = [], {}
             for gi in sorted(self._blocks_data):
                 kind, factors = self._blocks_data[gi]
                 if gi in lr_kinds:
-                    data = lr_damped_inverse_data(
-                        reig[(gi, 0)], reig[(gi, 1)], damping
-                    )
+                    struct.append((gi, kind, 2, "lr"))
+                elif kind == "krond":
+                    struct.append((gi, kind, 2, "krond"))
+                    diag[gi] = factors[1]
+                else:
+                    struct.append((gi, kind, len(factors), "eig"))
+            assembled = _damped_eig_assembly_program(
+                eig, reig, diag, damping, struct=tuple(struct)
+            )
+            for gi, kind, _, mode in struct:
+                if mode == "lr":
                     out_kind = "slreigh" if kind == "skron" else "lreigh"
-                    blocks_data[gi] = (out_kind, data)
-                    continue
-                if kind == "krond":
-                    lam_G, Q_G = eig[(gi, 0)]
-                    lam = lam_G[:, None] * factors[1][None, :]
-                    blocks_data[gi] = ("eighd", (1.0 / (lam + damping), Q_G))
-                    continue
-                lams = [eig[(gi, fi)][0] for fi in range(len(factors))]
-                Qs = [eig[(gi, fi)][1] for fi in range(len(factors))]
-                kron_lam = lams[0]
-                for lam in lams[1:]:
-                    if kind == "skron":  # batched kron over the stack axis
-                        kron_lam = (
-                            kron_lam[..., :, None] * lam[..., None, :]
-                        ).reshape(kron_lam.shape[0], -1)
-                    else:
-                        kron_lam = jnp.kron(kron_lam, lam)
-                out_kind = "seigh" if kind == "skron" else "eigh"
-                blocks_data[gi] = (out_kind, (1.0 / (kron_lam + damping), Qs))
+                elif mode == "krond":
+                    out_kind = "eighd"
+                else:
+                    out_kind = "seigh" if kind == "skron" else "eigh"
+                blocks_data[gi] = (out_kind, assembled[gi])
         else:
+            # all kron/skron blocks invert in ONE jitted program with a
+            # single flag readback (chain.py::grouped_kron_inverse) — the
+            # per-block path pays 2-4 tunnel round trips per block; on the
+            # rare Cholesky NaN it returns None and the per-block fp64-retry
+            # path below handles exactly the failing blocks
+            inv_plain = grouped_kron_inverse(
+                {
+                    gi: v
+                    for gi, v in self._blocks_data.items()
+                    if v[0] in ("kron", "skron")
+                },
+                damping,
+                use_heuristic_damping,
+                min_damping,
+            )
             for gi in sorted(self._blocks_data):
                 kind, factors = self._blocks_data[gi]
                 if kind == "krond":
@@ -385,6 +438,8 @@ class KFACLinearOperator(KroneckerChainOperator):
                         retry_double_precision=retry_double_precision,
                     )
                     blocks_data[gi] = ("krond", inv.factors)
+                elif inv_plain is not None:
+                    blocks_data[gi] = (kind, inv_plain[gi])
                 elif kind == "skron":
                     inv_factors = stacked_kron_inverse(
                         factors,
