@@ -249,7 +249,12 @@ def _grouped_kron_inverse_program(
             m1 = jnp.mean(jnp.diagonal(S1, axis1=-2, axis2=-1), axis=-1)
             m2 = jnp.mean(jnp.diagonal(S2, axis1=-2, axis2=-1), axis=-1)
             neg = neg | jnp.any(m1 < 0) | jnp.any(m2 < 0)
-            pi = jnp.sqrt(m2 / m1)
+            # zero factor trace -> no scale information -> plain split
+            # (pi = 1); matches ops/kronecker.py — MC-Fisher ggT factors
+            # underflow to exact zero on saturated-softmax models
+            pi = jnp.where(
+                (m1 > 0) & (m2 > 0), jnp.sqrt(m2 / jnp.where(m1 > 0, m1, 1.0)), 1.0
+            )
             damps[(gi, 0)] = jnp.maximum(sqrtd / pi, min_damping)
             damps[(gi, 1)] = jnp.maximum(sqrtd * pi, min_damping)
         else:
@@ -283,9 +288,17 @@ def _grouped_kron_inverse_program(
         eye = jnp.eye(D, dtype=A.dtype)
         damped = A + dvec[:, None, None].astype(A.dtype) * eye
         Lc = jnp.linalg.cholesky(damped)
-        inv = jax.vmap(
-            lambda c: jax.scipy.linalg.cho_solve((c, True), eye)
-        )(Lc)
+        solve = lambda c: jax.scipy.linalg.cho_solve((c, True), eye)
+        if D >= 1024:
+            # XLA's batched triangular solve materializes several
+            # [n, D, D]-scale HLO temps — vmap over the GPT's 36 stacked
+            # [3072, 3072] factors needed 16.3 GiB and OOM'd one chip.
+            # lax.map runs the solves sequentially inside the SAME program
+            # (one [D, D] temp set at a time); the solves are ms-scale on
+            # the MXU, so sequencing costs nothing measurable.
+            inv = jax.lax.map(solve, Lc)
+        else:
+            inv = jax.vmap(solve)(Lc)
         nan = nan | jnp.isnan(Lc).any()
         lead = 0
         for k, cnt in zip(keys, counts):
@@ -438,6 +451,18 @@ class KroneckerChainOperator(ChainLinearOperator):
             @jax.jit
             def apply(block_arrays: dict, M: Any) -> Any:
                 cols = jax.vmap(to_c, in_axes=-1, out_axes=-1)(M)
+                # compute in the canonical input dtype: factors are STORED
+                # in f32 (the build/accumulation dtype), but a bf16 operand
+                # must get bf16 MXU matmuls and a bf16 result — f32-promoted
+                # outputs broke dtype-stable loop embedding and silently ran
+                # the speed mode's matvecs in f32 (cast fuses, costs nothing)
+                dt = jax.tree.leaves(cols)[0].dtype
+                block_arrays = jax.tree.map(
+                    lambda a: a.astype(dt)
+                    if jnp.issubdtype(a.dtype, jnp.floating)
+                    else a,
+                    block_arrays,
+                )
                 out = []
                 for bi, gi in enumerate(sorted(kinds)):
                     comp = cols[bi]  # [block_size, K]

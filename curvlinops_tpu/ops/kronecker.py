@@ -201,7 +201,20 @@ class KroneckerProductLinearOperator(LinearOperator):
             mean2 = float(jnp.mean(jnp.diag(S2)))
             if mean1 < 0 or mean2 < 0:
                 raise RuntimeError("Negative mean eigenvalue detected.")
-            pi = math.sqrt(mean2 / mean1)
+            # Martens-Grosse pi-split (kronecker.py:307-316).  A zero factor
+            # trace makes the scale ratio undefined (the reference's float
+            # semantics produce an infinite pi and with it a zero block
+            # inverse / failed Cholesky); a factor with no scale information
+            # degenerates to the plain split.  Zero ggT factors are REAL on
+            # saturated-softmax models: MC-sampled CE grad-outputs are
+            # exactly p - onehot(argmax) = 0 in f32, and deeper blocks
+            # underflow first (observed on the synthetic ResNet-50, whose
+            # eval-mode BN at init matches torchvision's).
+            pi = (
+                math.sqrt(mean2 / mean1)
+                if mean1 > 0 and mean2 > 0
+                else 1.0
+            )
             sqrt_damping = math.sqrt(damping)
             dampings = (
                 max(sqrt_damping / pi, min_damping),

@@ -94,3 +94,35 @@ def test_bf16_kfac_build_and_inverse():
     assert np.isfinite(kfac @ v).all()
     inv = kfac.inverse(damping=1e-1)
     assert np.isfinite(inv @ v).all()
+
+
+@pytest.mark.parametrize("recipe", ["kfac", "exact", "heuristic", "ekfac"])
+def test_bf16_kfac_family_matvec_preserves_param_dtype(recipe):
+    """KFAC-family matvecs must be dtype-stable: bf16 pytree in, bf16 out.
+
+    Factors are STORED in f32 (the accumulation dtype) but the jitted chain
+    apply computes in the operand dtype — an f32-promoted output broke
+    ``lax.fori_loop`` embedding of the matvec (carry dtype mismatch) and
+    silently ran the bf16 speed mode's matvecs as f32 MXU programs.
+    """
+    model_fn, params, data = _problem(jnp.bfloat16)
+    kfac = cl.KFACLinearOperator(
+        model_fn, cl.CrossEntropyLoss("mean"), params, data,
+        fisher_type="mc", mc_samples=1, check_deterministic=False,
+    )
+    op = {
+        "kfac": lambda: kfac,
+        "exact": lambda: kfac.inverse(damping=1e-1, use_exact_damping=True),
+        "heuristic": lambda: kfac.inverse(
+            damping=1e-1, use_heuristic_damping=True
+        ),
+        "ekfac": lambda: cl.EKFACLinearOperator(
+            model_fn, cl.CrossEntropyLoss("mean"), params, data,
+            fisher_type="mc", mc_samples=1, check_deterministic=False,
+        ),
+    }[recipe]()
+    M = jax.tree.map(lambda p: jnp.ones(p.shape + (1,), p.dtype), params)
+    out = op @ M
+    for leaf_in, leaf_out in zip(jax.tree.leaves(M), jax.tree.leaves(out)):
+        assert leaf_out.dtype == leaf_in.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(leaf_out, np.float32)).all()

@@ -79,6 +79,48 @@ def test_grouped_nan_returns_none():
     assert grouped_kron_inverse(blocks, 1e-2, False, 1e-8) is None
 
 
+@pytest.mark.parametrize("zero_slot", [0, 1, "both"])
+def test_heuristic_zero_trace_factor_degenerates_to_plain_split(zero_slot):
+    """A zero factor trace has no scale information: pi degenerates to 1.
+
+    REAL case, not synthetic paranoia: MC-sampled CE grad-outputs are
+    exactly ``p - onehot(argmax) = 0`` under a saturated softmax, and the
+    deep half of the synthetic ResNet-50's ggT factors underflow to exact
+    zero (its eval-mode BN at init matches torchvision's).  The reference's
+    float semantics (kronecker.py:309-316) give ``pi = inf`` and with it a
+    zero/failed block inverse; both our paths must instead fall back to the
+    plain ``sqrt(damping)`` split and agree with each other.
+    """
+    from curvlinops_tpu.ops.kronecker import KroneckerProductLinearOperator
+
+    k = jax.random.split(jax.random.key(7), 2)
+    S1 = jnp.zeros((3, 3)) if zero_slot in (0, "both") else _spd(k[0], 3)
+    S2 = jnp.zeros((4, 4)) if zero_slot in (1, "both") else _spd(k[1], 4)
+    damping = 1e-2
+
+    # grouped one-program path
+    out = grouped_kron_inverse({0: ("kron", [S1, S2])}, damping, True, 1e-8)
+    assert out is not None
+    # per-block path (the fp64-retry fallback)
+    inv_op = KroneckerProductLinearOperator(S1, S2).inverse(
+        damping=damping, use_heuristic_damping=True
+    )
+    sqrt_d = float(jnp.sqrt(jnp.asarray(damping)))
+    for fi, (S, got, got_block) in enumerate(
+        zip([S1, S2], out[0], inv_op.factors)
+    ):
+        assert np.isfinite(np.asarray(got)).all(), f"factor {fi} not finite"
+        expected = damped_cholesky_inverse(S, max(sqrt_d, 1e-8))
+        report_nonclose(
+            got, expected, rtol=1e-4, atol=1e-6,
+            name=f"grouped factor {fi} (zero_slot={zero_slot})",
+        )
+        report_nonclose(
+            got_block, expected, rtol=1e-4, atol=1e-6,
+            name=f"per-block factor {fi} (zero_slot={zero_slot})",
+        )
+
+
 def test_grouped_negative_mean_raises():
     blocks = {0: ("kron", [-jnp.eye(3), jnp.eye(4)])}
     with pytest.raises(RuntimeError, match="Negative mean eigenvalue"):
