@@ -42,6 +42,22 @@ def _bn(x, p):
     return p["scale"] * x + p["bias"]
 
 
+def _bn_calibrating(x, p):
+    """Calibration-mode BN: fold THIS batch's statistics into the affine.
+
+    Writes ``scale = 1/sqrt(var + eps)``, ``bias = -mean * scale`` into the
+    (mutable copy of the) param subtree and normalizes with them — the
+    sequential, layer-by-layer equivalent of real running statistics.
+    """
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=(0, 1, 2))
+    v = jnp.var(xf, axis=(0, 1, 2))
+    scale = (1.0 / jnp.sqrt(v + _BN_EPS)).astype(x.dtype)
+    p["scale"] = scale
+    p["bias"] = (-m).astype(x.dtype) * scale
+    return _bn(x, p)
+
+
 def _maxpool(x, window=3, stride=2):
     pads = ((0, 0), (1, 1), (1, 1), (0, 0))
     return jax.lax.reduce_window(
@@ -60,14 +76,14 @@ def _init_bn(c):
 # ---------------------------------------------------------------------- #
 # blocks
 # ---------------------------------------------------------------------- #
-def _basic_block(params, x, stride):
+def _basic_block(params, x, stride, bn=_bn):
     identity = x
     out = _conv(x, params["conv1"]["W"], stride)
-    out = jax.nn.relu(_bn(out, params["bn1"]))
+    out = jax.nn.relu(bn(out, params["bn1"]))
     out = _conv(out, params["conv2"]["W"], 1)
-    out = _bn(out, params["bn2"])
+    out = bn(out, params["bn2"])
     if "downsample" in params:
-        identity = _bn(
+        identity = bn(
             _conv(x, params["downsample"]["conv"]["W"], stride),
             params["downsample"]["bn"],
         )
@@ -90,13 +106,13 @@ def _init_basic_block(key, c_in, c_out, stride):
     return p
 
 
-def _bottleneck_block(params, x, stride):
+def _bottleneck_block(params, x, stride, bn=_bn):
     identity = x
-    out = jax.nn.relu(_bn(_conv(x, params["conv1"]["W"], 1), params["bn1"]))
-    out = jax.nn.relu(_bn(_conv(out, params["conv2"]["W"], stride), params["bn2"]))
-    out = _bn(_conv(out, params["conv3"]["W"], 1), params["bn3"])
+    out = jax.nn.relu(bn(_conv(x, params["conv1"]["W"], 1), params["bn1"]))
+    out = jax.nn.relu(bn(_conv(out, params["conv2"]["W"], stride), params["bn2"]))
+    out = bn(_conv(out, params["conv3"]["W"], 1), params["bn3"])
     if "downsample" in params:
-        identity = _bn(
+        identity = bn(
             _conv(x, params["downsample"]["conv"]["W"], stride),
             params["downsample"]["bn"],
         )
@@ -132,19 +148,44 @@ _CONFIGS = {
 }
 
 
-def resnet_apply(params: Any, x: jax.Array, *, block: str) -> jax.Array:
+def resnet_apply(params: Any, x: jax.Array, *, block: str, bn=_bn) -> jax.Array:
     """ResNet forward pass ``[N, H, W, 3] -> [N, num_classes]``."""
     block_fn = _basic_block if block == "basic" else _bottleneck_block
     out = _conv(x, params["conv1"]["W"], 2)
-    out = jax.nn.relu(_bn(out, params["bn1"]))
+    out = jax.nn.relu(bn(out, params["bn1"]))
     out = _maxpool(out)
     for si in range(4):
         stage = params[f"layer{si + 1}"]
         for bi in range(len(stage)):
             stride = 2 if (si > 0 and bi == 0) else 1
-            out = block_fn(stage[f"block{bi}"], out, stride)
+            out = block_fn(stage[f"block{bi}"], out, stride, bn=bn)
     out = jnp.mean(out, axis=(1, 2))
     return out @ params["fc"]["W"] + params["fc"]["b"]
+
+
+def calibrate_bn(params: Any, x: jax.Array, *, block: str) -> Any:
+    """Fold one batch's per-channel statistics into the eval-mode BN affines.
+
+    The reference's ResNet-50 benchmark uses PRETRAINED torchvision weights
+    (``benchmark_utils.py:395``, real ImageNet running statistics) and its
+    ResNet-18 runs train-mode BatchNorm (batch statistics) — both see
+    normalized activations.  With identity affines on random init, eval-mode
+    activations explode instead (~1e2 per stage; logits O(1e3)): the softmax
+    saturates, MC-Fisher grad-outputs underflow to EXACT zeros for the deep
+    half of the network, and f32 Gram roundoff (eps * ||aaT||, order 1 at
+    ||aaT|| ~ 1e8) exceeds any reasonable damping, so damped Cholesky
+    legitimately fails.  Calibration is the functional stand-in for real
+    running statistics: one forward pass on calibration data, each BN site
+    folding ``scale = 1/sqrt(var+eps)``, ``bias = -mean*scale`` into its
+    affine sequentially (downstream sites see already-normalized inputs).
+    Jitted; the returned pytree has the same structure/dtypes as ``params``.
+    """
+    def impl(p, xb):
+        p = jax.tree.map(lambda a: a, p)  # fresh containers, safe to mutate
+        resnet_apply(p, xb, block=block, bn=_bn_calibrating)
+        return p
+
+    return jax.jit(impl)(params, x)
 
 
 def init_resnet(key, arch: str, num_classes: int, dtype=jnp.float32) -> Any:
@@ -230,6 +271,9 @@ def cifar10_resnet18(batch_size: int = 512, seed: int = 0, dtype=jnp.float32) ->
     apply_fn = partial(resnet_apply, block="basic")
     X = jax.random.uniform(kx, (batch_size, 32, 32, 3), dtype)
     y = jax.random.randint(ky, (batch_size,), 0, 10)
+    # normalized activation scales, like the reference's train-mode BN
+    # (see calibrate_bn); bounded calibration batch keeps setup cheap
+    params = calibrate_bn(params, X[: min(batch_size, 64)], block="basic")
     kfac_fn, kfac_params = kfac_restricted(apply_fn, params)
     return Problem(
         "synthetic_cifar10_resnet18",
@@ -250,6 +294,9 @@ def imagenet_resnet50(batch_size: int = 64, seed: int = 0, dtype=jnp.float32) ->
     apply_fn = partial(resnet_apply, block="bottleneck")
     X = jax.random.uniform(kx, (batch_size, 224, 224, 3), dtype)
     y = jax.random.randint(ky, (batch_size,), 0, 1000)
+    # normalized activation scales, like the reference's PRETRAINED BN
+    # running stats (see calibrate_bn); bounded calibration batch
+    params = calibrate_bn(params, X[: min(batch_size, 32)], block="bottleneck")
     kfac_fn, kfac_params = kfac_restricted(apply_fn, params)
     return Problem(
         "synthetic_imagenet_resnet50",
