@@ -62,13 +62,14 @@ def _recipes(results: dict):
     m = _get(results, "KFAC inverse matvec (ms)")
     if b is not None and m is not None:
         out.append(("exact eigh", b, m))
-    for key in results:
-        if key.startswith("KFAC inverse build rank="):
-            r = key[len("KFAC inverse build rank="):].split(" ")[0]
-            b = _get(results, key)
-            m = _get(results, f"KFAC inverse matvec rank={r} (ms)")
-            if b is not None and m is not None:
-                out.append((f"rank-{r} randomized", b, m))
+    # NOTE rank-r randomized inversion is deliberately NOT a candidate:
+    # it is preconditioner-grade (real-factor damped-inverse rel err ~0.35
+    # at damping 1e-3 — RESULTS.md "Real-factor rank-r quality"), a
+    # different quality class than the reference's Cholesky inverse, so
+    # letting it win the "best recipe" slot would make the speedup column
+    # an apples-to-oranges comparison.  Both candidates above match the
+    # reference's own recipes: heuristic == its "KFAC Cholesky inverse"
+    # (damp factors, Cholesky), exact eigh == its use_exact_damping=True.
     return out
 
 
