@@ -359,6 +359,25 @@ class KFACLinearOperator(KroneckerChainOperator):
                         flat_rand[(gi, fi)] = S
                     lr_kinds[gi] = kind
                     continue
+                if (
+                    rank is not None
+                    and kind in ("kron", "skron")
+                    and len(factors) == 1
+                    and factors[0].shape[-1] == factors[0].shape[-2]
+                    and factors[0].shape[-1] > rank
+                ):
+                    # single-factor blocks (bias-only) ride the same sector
+                    # machinery with a trivial [1, 1] second factor:
+                    # kron(S, [[1]]) == S, so damping semantics are exact —
+                    # without this, a 124M GPT's 48 bias blocks went through
+                    # full eigh and dominated the whole rank-r build
+                    S = factors[0]
+                    flat_rand[(gi, 0)] = S
+                    flat_rand[(gi, 1)] = jnp.ones(
+                        S.shape[:-2] + (1, 1), S.dtype
+                    )
+                    lr_kinds[gi] = kind
+                    continue
                 for fi, S in enumerate(factors):
                     if kind == "krond" and fi == 1:
                         continue  # diagonal factor: already its own spectrum

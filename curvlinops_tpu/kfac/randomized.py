@@ -403,9 +403,18 @@ def lr_sector_stats(
     row_g = jnp.sum(Rg**2, axis=(0, 1, 3))
     Ca = jnp.einsum("vbsi,bsj->vbij", g, za)  # [V, B, D1, r2]
     col_a = jnp.sum(Ca**2, axis=(0, 1, 2))
-    gg = jnp.einsum("vbsi,vbti->vbst", g, g)
-    aa = jnp.einsum("bsj,btj->bst", a, a)
-    total = jnp.einsum("vbst,bst->", gg, aa)
+    S, D1, D2 = g.shape[2], g.shape[-1], a.shape[-1]
+    if S * S <= D1 * D2:
+        # sequence Gramians: ||P||_F^2 = sum_st (g_s.g_t)(a_s.a_t)
+        gg = jnp.einsum("vbsi,vbti->vbst", g, g)
+        aa = jnp.einsum("bsj,btj->bst", a, a)
+        total = jnp.einsum("vbst,bst->", gg, aa)
+    else:
+        # P itself is only [D1, D2]: at conv sharing lengths the [B, S, S]
+        # Gramians explode (ResNet-50 conv1: S = 112^2 -> a 40 GiB HLO
+        # temp, measured OOM), while P materialized per (v, b) is tiny
+        P = jnp.einsum("vbsi,bsj->vbij", g, a)
+        total = jnp.sum(P**2)
     return lam11, row_g, col_a, total
 
 

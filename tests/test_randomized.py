@@ -321,6 +321,31 @@ def test_kfac_inverse_rank_deterministic_default_key():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), str(pa))
 
 
+def test_kfac_inverse_rank_covers_single_factor_bias_blocks():
+    """Bias-only blocks larger than ``rank`` must ride the lr path too.
+
+    ``kron(S, [[1]]) == S`` makes the trivial-second-factor embedding
+    exact; without it a 124M GPT's 48 bias blocks went through full eigh
+    and dominated the whole rank-r build (measured 8.6 s of a ~9 s build).
+    """
+    model_fn, params, data = _mlp_case([20, 18, 16, 3], batch=4)
+    kfac = KFACLinearOperator(
+        model_fn, MSELoss("mean"), params, data, check_deterministic=False
+    )
+    inv = kfac.inverse(
+        damping=0.1, use_exact_damping=True, rank=14, rank_power_iters=2
+    )
+    # blocks 1/3 are the 18-/16-dim bias blocks: both must be low-rank now
+    bias_kinds = [
+        kind
+        for gi, (kind, factors) in sorted(inv._blocks_data.items())
+        if gi in (1, 3)
+    ]
+    assert bias_kinds == ["lreigh", "lreigh"], inv._blocks_data.keys()
+    # and the 3-dim bias block stays exact
+    assert inv._blocks_data[5][0] == "eigh"
+
+
 def test_kfac_inverse_rank_small_blocks_stay_exact():
     """Blocks whose factors are all <= rank keep the exact eigh path."""
     model_fn, params, data = _mlp_case([6, 5, 4], batch=4, seed=2)
