@@ -92,10 +92,13 @@ class EKFACComputer(KFACComputer):
         # randomized partial bases; everything else keeps the exact eigh
         lr_gis: set = set()
         if self.rank is not None:
-            for gi in aaT:
+            for gi in ggT:  # bias-only groups have no aaT entry
                 if gi in diag_gis:
                     continue
-                if max(aaT[gi].shape[-1], ggT[gi].shape[-1]) > self.rank:
+                dims = [ggT[gi].shape[-1]]
+                if gi in aaT:
+                    dims.append(aaT[gi].shape[-1])
+                if max(dims) > self.rank:
                     lr_gis.add(gi)
         self._lr_gis = lr_gis
         eig_a = batched_eigh(
@@ -120,6 +123,7 @@ class EKFACComputer(KFACComputer):
                     (gi, side): mats[gi]
                     for gi in lr_gis
                     for side, mats in (("a", aaT), ("g", ggT))
+                    if gi in mats  # bias-only groups: g side only
                 },
                 self.rank,
                 jax.random.key(0) if self.rank_key is None else self.rank_key,
@@ -129,7 +133,8 @@ class EKFACComputer(KFACComputer):
             )
             for gi in lr_gis:
                 # partial bases only — EKFAC recomputes the spectra anyway
-                Q_a[gi] = reig[(gi, "a")][1]
+                if (gi, "a") in reig:
+                    Q_a[gi] = reig[(gi, "a")][1]
                 Q_g[gi] = reig[(gi, "g")][1]
         # free the covariance stacks before the correction pass — only the
         # eigenvectors are needed, and a 124M-GPT's factors are ~2 GiB
@@ -256,9 +261,27 @@ class EKFACComputer(KFACComputer):
                         g, Q_g[gi], idx, group.d_in
                     )
                 elif group.weight_path is None:
-                    lam = kmath.eigenvalue_correction(
-                        g, Q_g[gi], None, None, force_strategy
-                    )
+                    if gi in lr_gis:
+                        # bias-only lr group: trivial input side (the bias
+                        # "input" is the constant 1) — same sector stats
+                        # with a one-dim a-basis, kron(S, [[1]]) == S
+                        from curvlinops_tpu.kfac.randomized import (
+                            lr_sector_stats,
+                        )
+
+                        if g.ndim == 5:  # stacked [L, V, B, S, D1]
+                            a1 = jnp.ones(
+                                (g.shape[0],) + g.shape[2:4] + (1,), g.dtype
+                            )
+                            Ua1 = jnp.ones((g.shape[0], 1, 1), g.dtype)
+                        else:  # [V, B, S, D1]
+                            a1 = jnp.ones(g.shape[1:3] + (1,), g.dtype)
+                            Ua1 = jnp.ones((1, 1), g.dtype)
+                        lam = lr_sector_stats(g, Q_g[gi], a1, Ua1)
+                    else:
+                        lam = kmath.eigenvalue_correction(
+                            g, Q_g[gi], None, None, force_strategy
+                        )
                 else:
                     a_parts = [
                         kmath.input_to_sharing_format(
@@ -334,10 +357,16 @@ class EKFACLinearOperator(KFACLinearOperator):
         for gi, group in enumerate(self._groups):
             lam = self._lambdas[gi]
             if isinstance(lam, (tuple, list)):
-                # rank-r group: accumulated sector sums -> sector spectra
-                data = lr_corrected_data(
-                    self._Q_g[gi], self._Q_a[gi], tuple(lam)
-                )
+                # rank-r group: accumulated sector sums -> sector spectra;
+                # bias-only groups carry a trivial one-dim a-basis
+                Qa = self._Q_a.get(gi)
+                if Qa is None:
+                    Qg = self._Q_g[gi]
+                    Qa = jnp.ones(
+                        ((Qg.shape[0], 1, 1) if Qg.ndim == 3 else (1, 1)),
+                        Qg.dtype,
+                    )
+                data = lr_corrected_data(self._Q_g[gi], Qa, tuple(lam))
                 kind = "slreigh" if group.stack else "lreigh"
                 blocks_data[gi] = (kind, data)
                 continue

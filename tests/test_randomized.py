@@ -346,6 +346,32 @@ def test_kfac_inverse_rank_covers_single_factor_bias_blocks():
     assert inv._blocks_data[5][0] == "eigh"
 
 
+def test_ekfac_rank_covers_single_factor_bias_blocks():
+    """EKFAC(rank=) bias-only groups ride the sector path (trivial a-side)
+    and agree with the full build at captured spectra."""
+    from curvlinops_tpu import EKFACLinearOperator
+
+    model_fn, params, data = _mlp_case([20, 18, 16, 3], batch=4)
+    ek = EKFACLinearOperator(
+        model_fn, MSELoss("mean"), params, data,
+        check_deterministic=False, rank=14, rank_power_iters=2,
+    )
+    assert ek._blocks_data[1][0] == "lreigh"  # 18-dim bias
+    assert ek._blocks_data[3][0] == "lreigh"  # 16-dim bias
+    assert ek._blocks_data[5][0] == "eigh"  # 3-dim bias stays exact
+    ek_full = EKFACLinearOperator(
+        model_fn, MSELoss("mean"), params, data, check_deterministic=False
+    )
+    v = np.random.default_rng(0).standard_normal(ek.shape[0]).astype(np.float32)
+    ref = ek_full @ v
+    assert np.linalg.norm(ek @ v - ref) / np.linalg.norm(ref) < 1e-4
+    ref_inv = ek_full.inverse(0.1) @ v
+    assert (
+        np.linalg.norm(ek.inverse(0.1) @ v - ref_inv) / np.linalg.norm(ref_inv)
+        < 1e-4
+    )
+
+
 def test_kfac_inverse_rank_small_blocks_stay_exact():
     """Blocks whose factors are all <= rank keep the exact eigh path."""
     model_fn, params, data = _mlp_case([6, 5, 4], batch=4, seed=2)
