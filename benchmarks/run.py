@@ -155,6 +155,26 @@ def _attach_stats(results: dict, label: str, ms: float, stats: dict) -> None:
         results[f"{label} args (GiB)"] = stats["args_gib"]
 
 
+def _timed_build(build, readback, n: int = 3) -> tuple[float, object]:
+    """Median one-shot wall of ``n`` repeated WARM builds.
+
+    One-shot build walls through the tunnel jitter by seconds (the same
+    warm heuristic-inverse build measured 0.85 s and 2.23 s in two
+    sessions, and one rank build banked a 20 s outlier): the median of
+    three warm builds suppresses single-outlier walls while keeping the
+    mandatory per-build readbacks — those ARE part of a build's cost
+    (the ~0.2 s sub-second floor is fenced in RESULTS.md).  The caller
+    warms the compiles with one untimed build first.
+    """
+    walls, out = [], None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = build()
+        readback(out)
+        walls.append(time.perf_counter() - t0)
+    return float(np.median(walls)), out
+
+
 def _timed_chain(kernel_apply, init, *args, jit: bool = True) -> tuple[float, object]:
     """Per-application device time of a data-dependent dispatch chain.
 
@@ -468,15 +488,19 @@ def bench_kfac(prob, results: dict, kfac_approx: str = "expand") -> None:
     )
     results["KFAC matvec (ms)"] = round(_timed_operator_matvec(kfac, M), 3)
 
-    # warm up the eigh compiles once, then time the steady-state build
+    # warm up the eigh compiles once, then time the steady-state build.
+    # MEDIAN of 3 warm builds: one-shot build walls through the tunnel
+    # jitter by seconds (the same heuristic build measured 0.85 s and
+    # 2.23 s in two sessions; a rank build banked a 20 s outlier) — the
+    # median suppresses outlier walls while keeping the mandatory
+    # per-build readback, which IS part of a build's cost.
     inv = kfac.inverse(damping=1e-3, use_exact_damping=True)
     _single_readback(list(inv._blocks_data.values()))
-    t0 = time.perf_counter()
-    inv = kfac.inverse(damping=1e-3, use_exact_damping=True)
-    _single_readback(list(inv._blocks_data.values()))
-    results["KFAC exact-damped inverse build (s)"] = round(
-        time.perf_counter() - t0, 4
+    s, inv = _timed_build(
+        lambda: kfac.inverse(damping=1e-3, use_exact_damping=True),
+        lambda o: _single_readback(list(o._blocks_data.values())),
     )
+    results["KFAC exact-damped inverse build (s)"] = round(s, 4)
     results["KFAC inverse matvec (ms)"] = round(
         _timed_operator_matvec(inv, M), 3
     )
@@ -487,12 +511,11 @@ def bench_kfac(prob, results: dict, kfac_approx: str = "expand") -> None:
     # cheap path on problems where exact damping is eigh-bound
     hinv = kfac.inverse(damping=1e-3, use_heuristic_damping=True)
     _single_readback(list(hinv._blocks_data.values()))
-    t0 = time.perf_counter()
-    hinv = kfac.inverse(damping=1e-3, use_heuristic_damping=True)
-    _single_readback(list(hinv._blocks_data.values()))
-    results["KFAC heuristic inverse build (s)"] = round(
-        time.perf_counter() - t0, 4
+    s, hinv = _timed_build(
+        lambda: kfac.inverse(damping=1e-3, use_heuristic_damping=True),
+        lambda o: _single_readback(list(o._blocks_data.values())),
     )
+    results["KFAC heuristic inverse build (s)"] = round(s, 4)
     results["KFAC heuristic inverse matvec (ms)"] = round(
         _timed_operator_matvec(hinv, M), 3
     )
@@ -505,14 +528,13 @@ def bench_kfac(prob, results: dict, kfac_approx: str = "expand") -> None:
             damping=1e-3, use_exact_damping=True, rank=RANK
         )
         _single_readback(list(rinv._blocks_data.values()))
-        t0 = time.perf_counter()
-        rinv = kfac.inverse(
-            damping=1e-3, use_exact_damping=True, rank=RANK
+        s, rinv = _timed_build(
+            lambda: kfac.inverse(
+                damping=1e-3, use_exact_damping=True, rank=RANK
+            ),
+            lambda o: _single_readback(list(o._blocks_data.values())),
         )
-        _single_readback(list(rinv._blocks_data.values()))
-        results[f"KFAC inverse build rank={RANK} (s)"] = round(
-            time.perf_counter() - t0, 4
-        )
+        results[f"KFAC inverse build rank={RANK} (s)"] = round(s, 4)
         results[f"KFAC inverse matvec rank={RANK} (ms)"] = round(
             _timed_operator_matvec(rinv, M), 3
         )
@@ -556,10 +578,10 @@ def bench_ekfac(prob, results: dict) -> None:
     # state first so only one eigendecomposition set is alive at a time
     computer = ekfac._computer
     del ekfac
-    t0 = time.perf_counter()
-    out = computer.compute_ekfac()
-    _single_readback(out[:3])
-    results["EKFAC build (s)"] = round(time.perf_counter() - t0, 4)
+    s, out = _timed_build(
+        computer.compute_ekfac, lambda o: _single_readback(o[:3])
+    )
+    results["EKFAC build (s)"] = round(s, 4)
     del computer, out
 
     for RANK in RANKS:
@@ -580,12 +602,10 @@ def bench_ekfac(prob, results: dict) -> None:
         )
         computer = rek._computer
         del rek
-        t0 = time.perf_counter()
-        out = computer.compute_ekfac()
-        _single_readback(out[:3])
-        results[f"EKFAC build rank={RANK} (s)"] = round(
-            time.perf_counter() - t0, 4
+        s, out = _timed_build(
+            computer.compute_ekfac, lambda o: _single_readback(o[:3])
         )
+        results[f"EKFAC build rank={RANK} (s)"] = round(s, 4)
     del M
 
 
