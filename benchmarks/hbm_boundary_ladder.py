@@ -65,6 +65,11 @@ CELLS = [
     ("imagenet_resnet50", "ekfac", "bfloat16", 512),
     ("cifar10_resnet18", "ekfac", "bfloat16", 16384),
     ("cifar10_vit", "ekfac", "bfloat16", 512),
+    # mnist completion cells (round 5): ekfac f32 + the bf16 column
+    ("mnist_mlp", "ekfac", "float32", 1048576),
+    ("mnist_mlp", "ggn", "bfloat16", 2097152),
+    ("mnist_mlp", "kfac", "bfloat16", 2097152),
+    ("mnist_mlp", "ekfac", "bfloat16", 1048576),
 ]
 
 MAX_BATCH = 1 << 23  # ladder safety stop: beyond this, "boundary > 8M"
