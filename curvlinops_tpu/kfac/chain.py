@@ -70,6 +70,18 @@ def _mesh_sharded_eigh(stacked: jax.Array, mesh, data_axis: str):
     return _sharded_eigh_fn(sharding, replicated, n)(stacked)
 
 
+@jax.jit
+def _batched_eigh_program(mats: dict) -> dict:
+    """Whole-build jit of :func:`batched_eigh` (no-mesh path).
+
+    Eager per-shape dispatches cost a tunnel round trip EACH on remote
+    runtimes: the same build measured ~0.17 s as one program and 8+ s
+    eagerly (A/B in ``benchmarks/profile_rank_phases.py``).  The mesh
+    variant stays eager (it places shards with ``device_put``).
+    """
+    return batched_eigh(mats)
+
+
 def batched_eigh(mats: dict, mesh=None, data_axis: str = "data") -> dict:
     """Eigendecompose a dict of symmetric matrices, batching equal shapes.
 

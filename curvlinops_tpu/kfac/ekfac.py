@@ -101,36 +101,53 @@ class EKFACComputer(KFACComputer):
                 if max(dims) > self.rank:
                     lr_gis.add(gi)
         self._lr_gis = lr_gis
-        eig_a = batched_eigh(
-            {
-                gi: v
-                for gi, v in aaT.items()
-                if gi not in diag_gis and gi not in lr_gis
-            },
-            mesh=self.mesh, data_axis=self.data_axis,
-        )
-        eig_g = batched_eigh(
-            {gi: v for gi, v in ggT.items() if gi not in lr_gis},
-            mesh=self.mesh, data_axis=self.data_axis,
-        )
+        flat_a = {
+            gi: v
+            for gi, v in aaT.items()
+            if gi not in diag_gis and gi not in lr_gis
+        }
+        flat_g = {gi: v for gi, v in ggT.items() if gi not in lr_gis}
+        if self.mesh is not None:
+            eig_a = batched_eigh(
+                flat_a, mesh=self.mesh, data_axis=self.data_axis
+            )
+            eig_g = batched_eigh(
+                flat_g, mesh=self.mesh, data_axis=self.data_axis
+            )
+        else:
+            # one program per side: eager per-shape dispatches pay a
+            # tunnel round trip each (profile_rank_phases.py A/B)
+            from curvlinops_tpu.kfac.chain import _batched_eigh_program
+
+            eig_a = _batched_eigh_program(flat_a) if flat_a else {}
+            eig_g = _batched_eigh_program(flat_g) if flat_g else {}
         Q_a = {gi: v for gi, (_, v) in eig_a.items()}
         Q_g = {gi: v for gi, (_, v) in eig_g.items()}
         if lr_gis:
-            from curvlinops_tpu.kfac.randomized import batched_randomized_eigh
-
-            reig = batched_randomized_eigh(
-                {
-                    (gi, side): mats[gi]
-                    for gi in lr_gis
-                    for side, mats in (("a", aaT), ("g", ggT))
-                    if gi in mats  # bias-only groups: g side only
-                },
-                self.rank,
-                jax.random.key(0) if self.rank_key is None else self.rank_key,
-                power_iters=self.rank_power_iters,
-                mesh=self.mesh,
-                data_axis=self.data_axis,
+            from curvlinops_tpu.kfac.randomized import (
+                _batched_randomized_eigh_program,
+                batched_randomized_eigh,
             )
+
+            lr_mats = {
+                (gi, side): mats[gi]
+                for gi in lr_gis
+                for side, mats in (("a", aaT), ("g", ggT))
+                if gi in mats  # bias-only groups: g side only
+            }
+            rkey = (
+                jax.random.key(0) if self.rank_key is None else self.rank_key
+            )
+            if self.mesh is not None:
+                reig = batched_randomized_eigh(
+                    lr_mats, self.rank, rkey,
+                    power_iters=self.rank_power_iters,
+                    mesh=self.mesh, data_axis=self.data_axis,
+                )
+            else:
+                reig = _batched_randomized_eigh_program(
+                    lr_mats, self.rank, rkey, self.rank_power_iters
+                )
             for gi in lr_gis:
                 # partial bases only — EKFAC recomputes the spectra anyway
                 if (gi, "a") in reig:

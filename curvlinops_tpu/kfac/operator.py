@@ -382,25 +382,36 @@ class KFACLinearOperator(KroneckerChainOperator):
                     if kind == "krond" and fi == 1:
                         continue  # diagonal factor: already its own spectrum
                     flat[(gi, fi)] = S
-            eig = batched_eigh(
-                flat,
-                mesh=getattr(self, "_mesh", None),
-                data_axis=getattr(self, "_data_axis", "data"),
-            )
+            mesh = getattr(self, "_mesh", None)
+            if mesh is not None:
+                eig = batched_eigh(
+                    flat, mesh=mesh,
+                    data_axis=getattr(self, "_data_axis", "data"),
+                )
+            else:
+                # one program: eager per-shape dispatches pay a tunnel
+                # round trip each (profile_rank_phases.py A/B)
+                from curvlinops_tpu.kfac.chain import _batched_eigh_program
+
+                eig = _batched_eigh_program(flat) if flat else {}
             reig = {}
             if flat_rand:
                 from curvlinops_tpu.kfac.randomized import (
+                    _batched_randomized_eigh_program,
                     batched_randomized_eigh,
                 )
 
-                reig = batched_randomized_eigh(
-                    flat_rand,
-                    rank,
-                    jax.random.key(0) if rank_key is None else rank_key,
-                    power_iters=rank_power_iters,
-                    mesh=getattr(self, "_mesh", None),
-                    data_axis=getattr(self, "_data_axis", "data"),
-                )
+                rkey = jax.random.key(0) if rank_key is None else rank_key
+                if mesh is not None:
+                    reig = batched_randomized_eigh(
+                        flat_rand, rank, rkey,
+                        power_iters=rank_power_iters, mesh=mesh,
+                        data_axis=getattr(self, "_data_axis", "data"),
+                    )
+                else:
+                    reig = _batched_randomized_eigh_program(
+                        flat_rand, rank, rkey, rank_power_iters
+                    )
             # assemble every block's damped inverse data in ONE jitted
             # program (the per-block eager kron/reciprocal/sector ops cost
             # ~5 tunnel dispatches per block; measured seconds of pure

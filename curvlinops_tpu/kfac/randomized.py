@@ -158,6 +158,20 @@ def _sharded_range_core_fn(in_sharding, out_sharding, power_iters: int, n: int):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("rank", "power_iters"))
+def _batched_randomized_eigh_program(
+    mats: dict, rank: int, key: jax.Array, power_iters: int
+) -> dict:
+    """Whole-build jit of :func:`batched_randomized_eigh` (no-mesh path).
+
+    The eager form pays a tunnel round trip per primitive on remote
+    runtimes — the dominant cost of the operator-level rank-r build
+    (measured ~8 s of a ~10 s build; ``profile_rank_phases.py``). One
+    program restores the micro benchmark's matmul-bound cost.
+    """
+    return batched_randomized_eigh(mats, rank, key, power_iters=power_iters)
+
+
 def batched_randomized_eigh(
     mats: dict,
     rank: int,
